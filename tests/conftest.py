@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The driver benches on the real TPU; tests must be hermetic and exercise the
+multi-device sharding paths, so we force the CPU backend with 8 virtual
+devices.  Note: this environment's sitecustomize force-selects the `axon` TPU
+platform, so the env var alone is not enough — we must set the jax config
+knob before any backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
