@@ -1,0 +1,301 @@
+"""R1CS -> QRP reduction: instance map, evaluated instance map, witness map.
+
+Mirrors `/root/reference/ringsnark/reductions/r1cs_to_qrp/r1cs_to_qrp.tcc`
+with the O(m^2) interpolation/multiplication/division cluster replaced by
+NTTs over the roots-of-unity domain (SURVEY §3.2 "arithmetization hot
+block"):
+
+* constraint evaluation (x3 assignments)  -> batched COO SpMV
+* `interpolate` x9                        -> inverse NTT (size M)
+* `multiply(aA, aB)` + `divide_by_Z`      -> zero-padded size-2M NTTs +
+  upper-half quotient extraction (Z = X^M - 1, exact division)
+* ZK patch (d2*A + d1*B - d3) + d1*d2*Z   -> fused elementwise ops
+
+Deviation from the reference (documented in relations/qrp.QRPWitness): the
+io/mid split counts the constant column once (io side); the reference
+evaluates both shortened assignments with constant=1
+(`r1cs_to_qrp.tcc:167-200`), double-counting it.
+
+A generic host-path (`*_generic`) mirrors the reference's control flow with
+list-based polynomials for cross-validation on any domain/element type.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ntt as _ntt
+from ..ops.modops import mul_mod, sub_mod, add_mod, neg_mod, barrett_reduce_u64
+from ..relations.qrp import QRPInstance, QRPInstanceEvaluation, QRPWitness
+from ..relations.r1cs import CompiledR1CS, R1CSConstraintSystem
+from ..rings.elem import RingElem
+from ..utils import poly as _poly
+from ..utils.domain import RootsDomain, get_evaluation_domain
+
+__all__ = [
+    "r1cs_to_qrp_instance_map",
+    "r1cs_to_qrp_instance_map_with_evaluation",
+    "r1cs_to_qrp_witness_map",
+    "r1cs_to_qrp_witness_map_generic",
+    "mod_powers_device",
+]
+
+
+def mod_powers_device(t_res, count: int, ctx):
+    """[1, t, ..., t^(count-1)] as uint32[count, L, 1], log(count) jnp steps."""
+    pw = jnp.broadcast_to(
+        jnp.ones_like(t_res)[None], (1, *t_res.shape)
+    )  # [1, L, 1] of ones
+    cur = 1
+    while cur < count:
+        # t^cur = last power * t
+        step = mul_mod(pw[cur - 1], t_res, ctx.p, ctx.mu, ctx.pbits)  # t^cur
+        nxt = mul_mod(pw, step[None], ctx.p, ctx.mu, ctx.pbits)
+        pw = jnp.concatenate([pw, nxt], axis=0)
+        cur = pw.shape[0]
+    return pw[:count]
+
+
+# ---------------------------------------------------------------------------
+# instance maps
+# ---------------------------------------------------------------------------
+
+
+def r1cs_to_qrp_instance_map(cs: R1CSConstraintSystem, domain) -> QRPInstance:
+    """Scatter constraint coefficients into Lagrange-basis maps
+    (`r1cs_to_qrp.tcc:26-58`)."""
+    nv = cs.num_variables()
+    A = [dict() for _ in range(nv + 1)]
+    B = [dict() for _ in range(nv + 1)]
+    C = [dict() for _ in range(nv + 1)]
+    for i, cons in enumerate(cs.constraints):
+        for M, lc in ((A, cons.a), (B, cons.b), (C, cons.c)):
+            for term in lc.terms:
+                d = M[term.index]
+                d[i] = d[i] + term.coeff if i in d else term.coeff
+    return QRPInstance(domain, nv, domain.m, cs.num_inputs(), A, B, C)
+
+
+def r1cs_to_qrp_instance_map_with_evaluation(
+    comp: CompiledR1CS, t: RingElem, domain: RootsDomain
+) -> QRPInstanceEvaluation:
+    """Evaluate the QRP instance at t (`r1cs_to_qrp.tcc:76-116`), fast path.
+
+    At[k] = sum_i u_i * A[i,k] — a transposed SpMV with u = Lagrange values,
+    one segment-sum per matrix.  Returns batched At/Bt/Ct ([nv+1, L, nc]),
+    Ht ([M+1, L, 1]) and Zt.
+    """
+    ctx = comp.ctx
+    u = domain.evaluate_all_lagrange_polynomials(t).res  # [M, L, 1]
+    Zt = domain.compute_vanishing_polynomial(t)
+
+    outs = []
+    for rows, cols, coeffs in zip(comp.rows, comp.cols, comp.coeffs):
+        gathered = u[rows]  # [nnz, L, 1]
+        prods = mul_mod(gathered, coeffs, ctx.p, ctx.mu, ctx.pbits)
+        acc = jax.ops.segment_sum(
+            prods.astype(jnp.uint64), cols, num_segments=comp.num_variables + 1
+        )
+        outs.append(
+            RingElem(ctx, barrett_reduce_u64(acc, ctx.p, ctx.mu, ctx.pbits))
+        )
+    At, Bt, Ct = outs
+    Ht = RingElem(ctx, mod_powers_device(t.res, domain.m + 1, ctx))
+    return QRPInstanceEvaluation(
+        domain, comp.num_variables, domain.m, comp.primary_input_size,
+        t, At, Bt, Ct, Ht, Zt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# witness map — fast path
+# ---------------------------------------------------------------------------
+
+
+def _assignment_batches(ctx, primary: list, auxiliary: list):
+    """(full, io, mid) assignment batches, each [1+nv, L, n].
+
+    io  = [1,  primary, 0...];  mid = [0, 0..., auxiliary]  (constant counted
+    once, on the io side — see module docstring).
+    """
+    one = RingElem.one(ctx)
+    zero = RingElem.zero(ctx)
+    np_, na = len(primary), len(auxiliary)
+    full = RingElem.stack([one] + list(primary) + list(auxiliary))
+    io = RingElem.stack([one] + list(primary) + [zero] * na)
+    mid = RingElem.stack([zero] * (1 + np_) + list(auxiliary))
+    n = max(full.res.shape[-1], 1)
+    return full, io, mid
+
+
+def _interp(domain: RootsDomain, evals_bln):
+    """[M, L, n] domain-order evals -> [M, L, n] coefficients (via iNTT)."""
+    x = jnp.transpose(evals_bln, (2, 1, 0))  # [n, L, M]
+    c = domain.interpolate_arr(x)
+    return jnp.transpose(c, (2, 1, 0))
+
+
+def r1cs_to_qrp_witness_map(
+    comp: CompiledR1CS,
+    primary: list,
+    auxiliary: list,
+    d1: RingElem,
+    d2: RingElem,
+    d3: RingElem,
+    domain: RootsDomain,
+) -> QRPWitness:
+    """TPU-fast witness map (`r1cs_to_qrp.tcc:148-259` semantics)."""
+    ctx = comp.ctx
+    M = domain.m
+    full, io, mid = _assignment_batches(ctx, primary, auxiliary)
+
+    # (1) constraint evaluations on the domain (rows beyond num_constraints
+    # are zero — padding constraints 0*0=0)
+    evals = {}
+    for name, z in (("full", full), ("io", io), ("mid", mid)):
+        evals[name] = comp.eval_matrices(z.res, num_rows=M)  # 3 x [M, L, n]
+
+    # (2) interpolate to coefficients: 9 inverse NTTs
+    coeffs = {
+        name: tuple(_interp(domain, e) for e in evals[name]) for name in evals
+    }
+    aA, aB, aC = coeffs["full"]
+
+    # (3+4+5) H = upper-half of coeffs(A*B): size-2M NTT convolution.
+    # (A*B - C) is divisible by Z = X^M - 1 for a satisfied witness, and C
+    # (deg < M) never touches the quotient's source coefficients (DESIGN §3).
+    if M > 1:
+        plan2 = _ntt.get_plan(ctx.primes, 2 * M)
+        af = jnp.transpose(aA, (2, 1, 0))  # [n, L, M]
+        bf = jnp.transpose(aB, (2, 1, 0))
+        pad = ((0, 0),) * (af.ndim - 1) + ((0, M),)
+        af2 = _ntt.cyclic_ntt_rev(jnp.pad(af, pad), plan2)
+        bf2 = _ntt.cyclic_ntt_rev(jnp.pad(bf, pad), plan2)
+        prod = _ntt.cyclic_intt_nat(
+            mul_mod(af2, bf2, plan2.p, plan2.mu, plan2.pbits), plan2
+        )  # [n, L, 2M] coefficients of A*B
+        h_main = jnp.transpose(prod[..., M:], (2, 1, 0))  # [M, L, n], q_{M-1}=0
+    else:
+        # M == 1: A,B constants; A*B - C = q * (X - x_0) requires q = 0
+        h_main = jnp.zeros_like(aA)
+
+    # (6) patch: (d2*A + d1*B - d3) + d1*d2*Z   (r1cs_to_qrp.tcc:229-235)
+    p_, mu_, b_ = ctx.p, ctx.mu, ctx.pbits
+    patch = add_mod(
+        mul_mod(aA, d2.res, p_, mu_, b_),
+        mul_mod(aB, d1.res, p_, mu_, b_),
+        p_,
+    )  # [M, L, n]
+    H = add_mod(h_main, patch, p_)
+    d1d2 = mul_mod(d1.res, d2.res, p_, mu_, b_)  # [L, 1]
+    n = H.shape[-1]
+    head = sub_mod(sub_mod(H[0], d3.res, p_), d1d2, p_)  # H[0] - d3 - d1*d2
+    tail = jnp.broadcast_to(d1d2, (1, ctx.L, n)).astype(jnp.uint32)  # + d1*d2*X^M
+    H = jnp.concatenate([head[None], H[1:], tail], axis=0)  # [M+1, L, n]
+
+    # Z = X^M - 1 as a coefficient batch [M+1, L, 1]
+    negone = neg_mod(jnp.ones((1, ctx.L, 1), dtype=jnp.uint32), p_)
+    zeros = jnp.zeros((M - 1, ctx.L, 1), dtype=jnp.uint32)
+    ones = jnp.ones((1, ctx.L, 1), dtype=jnp.uint32)
+    Z = jnp.concatenate([negone, zeros, ones], axis=0)
+
+    def wrap(arr):
+        return RingElem(ctx, arr)
+
+    a_io, b_io, c_io = (wrap(c) for c in coeffs["io"])
+    a_mid, b_mid, c_mid = (wrap(c) for c in coeffs["mid"])
+    return QRPWitness(
+        num_variables=comp.num_variables,
+        degree=M,
+        num_inputs=comp.primary_input_size,
+        d1=d1, d2=d2, d3=d3,
+        coefficients_for_ABCs=RingElem.stack(list(primary) + list(auxiliary))
+        if (primary or auxiliary)
+        else RingElem(ctx, jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)),
+        coefficients_for_A_io=a_io,
+        coefficients_for_B_io=b_io,
+        coefficients_for_C_io=c_io,
+        coefficients_for_A_mid=a_mid,
+        coefficients_for_B_mid=b_mid,
+        coefficients_for_C_mid=c_mid,
+        coefficients_for_Z=wrap(Z),
+        coefficients_for_H=wrap(H),
+    )
+
+
+# ---------------------------------------------------------------------------
+# witness map — generic host path (reference control flow, any ring/domain)
+# ---------------------------------------------------------------------------
+
+
+def r1cs_to_qrp_witness_map_generic(
+    cs: R1CSConstraintSystem,
+    primary: list,
+    auxiliary: list,
+    d1, d2, d3,
+    domain,
+) -> QRPWitness:
+    """List-based witness map mirroring `r1cs_to_qrp.tcc:148-259` (with the
+    corrected constant-column split)."""
+    one = type(d1).one(d1.ctx)
+    zero = one - one
+    m = domain.m
+    xs = [domain.get_domain_element(i) for i in range(m)]
+    full = list(primary) + list(auxiliary)
+
+    def eval_rows(assignment, const):
+        rows = {"a": [], "b": [], "c": []}
+        for cons in cs.constraints:
+            for key, lc in (("a", cons.a), ("b", cons.b), ("c", cons.c)):
+                rows[key].append(lc.evaluate(assignment, const))
+        for key in rows:
+            rows[key] += [zero] * (m - len(rows[key]))
+        return rows
+
+    mid_assign = [zero] * len(primary) + list(auxiliary)
+    io_assign = list(primary) + [zero] * len(auxiliary)
+    ev_mid = eval_rows(mid_assign, zero)  # constant column NOT in mid
+    ev_io = eval_rows(io_assign, one)
+    ev_full = eval_rows(full, one)
+
+    a_mid = _poly.interpolate(xs, ev_mid["a"])
+    b_mid = _poly.interpolate(xs, ev_mid["b"])
+    c_mid = _poly.interpolate(xs, ev_mid["c"])
+    a_io = _poly.interpolate(xs, ev_io["a"])
+    b_io = _poly.interpolate(xs, ev_io["b"])
+    c_io = _poly.interpolate(xs, ev_io["c"])
+    aA = _poly.interpolate(xs, ev_full["a"])
+    aB = _poly.interpolate(xs, ev_full["b"])
+    aC = _poly.interpolate(xs, ev_full["c"])
+
+    Z = domain.vanishing_polynomial()
+
+    H = [zero] * (m + 1)
+    for i in range(m):
+        H[i] = d2 * aA[i] + d1 * aB[i]
+    H[0] = H[0] - d3
+    H = domain.add_poly_Z(d1 * d2, H)
+
+    min_C = [-c for c in aC]
+    prod = _poly.multiply(aA, aB)
+    diff = _poly.add(prod, min_C)
+    H_tmp = domain.divide_by_Z(diff)
+    for i in range(min(len(H), len(H_tmp))):
+        H[i] = H[i] + H_tmp[i]
+
+    return QRPWitness(
+        num_variables=cs.num_variables(),
+        degree=m,
+        num_inputs=cs.num_inputs(),
+        d1=d1, d2=d2, d3=d3,
+        coefficients_for_ABCs=full,
+        coefficients_for_A_io=a_io,
+        coefficients_for_B_io=b_io,
+        coefficients_for_C_io=c_io,
+        coefficients_for_A_mid=a_mid,
+        coefficients_for_B_mid=b_mid,
+        coefficients_for_C_mid=c_mid,
+        coefficients_for_Z=Z,
+        coefficients_for_H=H,
+    )

@@ -252,6 +252,12 @@ class RingElem:
         assert self.batch_shape, "not a batch"
         return self.res.shape[0]
 
+    def __iter__(self):
+        # explicit iterator: jax clamps out-of-bounds concrete indices, so the
+        # implicit __getitem__ sequence protocol would never terminate
+        for i in range(len(self)):
+            yield self[i]
+
     def __repr__(self):
         r = np.asarray(self.res)
         if r.shape[-1] == 1 and r.ndim == 2:
