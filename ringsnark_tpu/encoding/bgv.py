@@ -1,0 +1,223 @@
+"""Core batched BGV-symmetric operations on raw arrays.
+
+Everything operates on ciphertext component arrays shaped
+``uint32[*batch, L, L'_lvl, N']`` (L outer limbs = independent schemes,
+L'_lvl inner RNS limbs at the current level, N' inner degree) kept in
+inner-NTT (evaluation) form, and plaintext slot arrays ``[*batch, L, n]``.
+
+Replaces SEAL's Encryptor/Decryptor/Evaluator usage in
+`/root/reference/ringsnark/seal/seal_ring.tcc:324-548`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import ntt as _ntt
+from ..ops.modops import add_mod, sub_mod, neg_mod, mul_mod, barrett_reduce_u64
+from .context import EncodingContext, SecretKey
+
+__all__ = [
+    "plain_to_inner_ntt",
+    "encrypt",
+    "decrypt_to_slots",
+    "ct_add",
+    "ct_mul_plain",
+    "modswitch",
+]
+
+
+def _slots_to_plain_coeffs(ctx: EncodingContext, slots):
+    """[*, L, n] outer slot values -> plaintext coefficients mod t_i [*, L, N'].
+
+    The batch-encoding step (`seal_ring.tcc:349-353`): place the n outer slot
+    values into the first n inner slots (zero beyond) and inverse-NTT mod t_i.
+    """
+    # scalar ring elems (n == 1) are all-slots constants: broadcast to N first
+    N = ctx.ring.N
+    slots = jnp.broadcast_to(slots, (*slots.shape[:-1], N))
+    padded = jnp.pad(slots, [(0, 0)] * (slots.ndim - 1) + [(0, ctx.n_inner - N)])
+    return _ntt.negacyclic_intt_nat(padded, ctx.plain_plan)
+
+
+def _lift_centered(ctx: EncodingContext, pt_coeffs, level: int):
+    """Centered lift of plaintext coeffs (mod t_i) into each inner limb.
+
+    [*, L, N'] -> [*, L, L'_lvl, N'].  v > t/2 maps to v - t ≡ v - t + Q_j.
+    """
+    t = jnp.asarray(ctx.t_np)[:, None]  # [L, 1]
+    Q = ctx.inner_consts(level)[0][:, 0]  # [L'_lvl]
+    v = pt_coeffs[..., :, None, :]  # [*, L, 1, N']
+    t_ = t[:, None, :]  # [L, 1, 1]
+    big = v > (t_ >> 1)
+    Qb = Q[None, :, None]  # [1, L', 1]
+    lifted = jnp.where(big, v + Qb - t_, v)
+    # v <= t/2 may still exceed Q_j when t_i > Q_j: one conditional subtract
+    lifted = jnp.where(lifted >= Qb, lifted - Qb, lifted)
+    return lifted.astype(jnp.uint32)
+
+
+def plain_to_inner_ntt(ctx: EncodingContext, slots, level: int = 0):
+    """Outer slot values -> inner-NTT plaintext operand [*, L, L'_lvl, N']."""
+    coeffs = _slots_to_plain_coeffs(ctx, slots)
+    lifted = _lift_centered(ctx, coeffs, level)
+    return _ntt.negacyclic_ntt_rev(lifted, ctx.inner_plan(level))
+
+
+def _sample_uniform(ctx: EncodingContext, key, batch_shape):
+    """Uniform element of R_Q in NTT form: independent uniform residues."""
+    Qs = ctx.inner_primes
+    keys = jax.random.split(key, len(Qs))
+    cols = [
+        jax.random.randint(
+            k, (*batch_shape, ctx.L, ctx.n_inner), 0, int(Q), dtype=jnp.uint32
+        )
+        for k, Q in zip(keys, Qs)
+    ]
+    return jnp.stack(cols, axis=-2)  # [*, L, L', N']
+
+
+def _sample_error_ntt(ctx: EncodingContext, key, batch_shape):
+    """Rounded-Gaussian integer error poly, per inner limb, NTT form."""
+    e = jnp.round(
+        jax.random.normal(key, (*batch_shape, ctx.L, ctx.n_inner))
+        * ctx.error_stddev
+    ).astype(jnp.int64)
+    e = jnp.clip(e, -64, 64)
+    Q = jnp.asarray(ctx.Q_np.astype(np.int64))[:, None]  # [L', 1]
+    res = (e[..., :, None, :] % Q).astype(jnp.uint32)  # [*, L, L', N']
+    return _ntt.negacyclic_ntt_rev(res, ctx.inner_plan(0))
+
+
+def encrypt(ctx: EncodingContext, sk: SecretKey, slots, key):
+    """Symmetric BGV encryption of a batch of outer-slot vectors.
+
+    slots: uint32[*batch, L, n] -> (c0, c1): uint32[*batch, L, L', N'] with
+    c1 = a,  c0 = -(a . s) + t*e + m   so that c0 + c1.s = m + t*e (mod Q).
+    """
+    batch_shape = slots.shape[:-2]
+    k_a, k_e = jax.random.split(key)
+    a = _sample_uniform(ctx, k_a, batch_shape)
+    e = _sample_error_ntt(ctx, k_e, batch_shape)
+    m = plain_to_inner_ntt(ctx, slots, level=0)
+    p, mu, b = ctx.inner_consts(0)
+    # limb-constant broadcast: arrays are [*, L, L', N'], consts [L', 1]
+    As = mul_mod(a, sk.s_ntt, p, mu, b)
+    te = mul_mod(e, ctx.t_mod_Q, p, mu, b)
+    c0 = add_mod(sub_mod(m, As, p), te, p)
+    return c0, a
+
+
+def ct_add(ctx: EncodingContext, ct_a, ct_b, level: int):
+    p = ctx.inner_consts(level)[0]
+    return (
+        add_mod(ct_a[0], ct_b[0], p),
+        add_mod(ct_a[1], ct_b[1], p),
+    )
+
+
+def ct_mul_plain(ctx: EncodingContext, ct, slots, level: int):
+    """ct * plain(slot values) — pointwise in NTT form
+    (`seal_ring.tcc:509-548` multiply_plain)."""
+    pt = plain_to_inner_ntt(ctx, slots, level)
+    p, mu, b = ctx.inner_consts(level)
+    return (
+        mul_mod(ct[0], pt, p, mu, b),
+        mul_mod(ct[1], pt, p, mu, b),
+    )
+
+
+def modswitch(ctx: EncodingContext, ct, level: int):
+    """Drop the last inner limb: (c - d)/Q_last with d ≡ c (mod Q_last),
+    d ≡ 0 (mod t_i), |d| small.  Returns ciphertext at level+1.
+
+    Scales the plaintext by Q_last^{-1} mod t_i — tracked by
+    `EncodingContext.correction_factor` and undone at decode (the reference
+    relies on SEAL's internal BGV correction factor).
+    """
+    primes = ctx.level_primes(level)
+    Q_last = primes[-1]
+    plan = ctx.inner_plan(level)
+    plan_next = ctx.inner_plan(level + 1)
+    p_next, mu_next, b_next = ctx.inner_consts(level + 1)
+
+    out = []
+    t = jnp.asarray(ctx.t_np.astype(np.int64))[:, None]  # [L, 1]
+    # per outer limb: Q_last^{-1} mod t_i
+    qinv_t = jnp.asarray(
+        np.array(
+            [pow(Q_last, -1, t_i) for t_i in ctx.ring.primes], dtype=np.int64
+        )
+    )[:, None]
+    for comp in ct:
+        coeffs = _ntt.negacyclic_intt_nat(comp, plan)  # [*, L, L', N']
+        r = coeffs[..., -1, :].astype(jnp.int64)  # [*, L, N'] mod Q_last
+        r_c = jnp.where(r > (Q_last >> 1), r - Q_last, r)  # centered
+        # u = (-r_c) * Q_last^{-1} mod t, centered
+        u = (-r_c % t) * qinv_t % t
+        u_c = jnp.where(u > (t >> 1), u - t, u)
+        d = r_c + Q_last * u_c  # |d| <= Q_last*(t+1)/2 — fits int64
+        rest = coeffs[..., :-1, :].astype(jnp.int64)  # [*, L, L'-1, N']
+        Qs = jnp.asarray(np.array(primes[:-1], dtype=np.int64))[:, None]
+        num = (rest - d[..., None, :]) % Qs  # (c_j - d) mod Q_j
+        qlast_inv = jnp.asarray(
+            np.array([pow(Q_last, -1, Q) for Q in primes[:-1]], dtype=np.uint64)
+        )[:, None]
+        scaled = barrett_reduce_u64(
+            num.astype(jnp.uint64) * qlast_inv, p_next, mu_next, b_next
+        )
+        out.append(_ntt.negacyclic_ntt_rev(scaled, plan_next))
+    return tuple(out)
+
+
+def decrypt_to_slots(ctx: EncodingContext, sk: SecretKey, ct, level: int):
+    """Decrypt -> (slot values uint32[*, L, N'], noise budget bits [*, L]).
+
+    Host-side CRT composition (exact big-int); decode is the rare,
+    designated-verifier-side path.  Noise budget mirrors the reference's
+    `invariant_noise_budget(...) <= 0` -> decoding_error semantics
+    (`seal_ring.tcc:446-454`).
+    """
+    plan = ctx.inner_plan(level)
+    primes = ctx.level_primes(level)
+    p, mu, b = ctx.inner_consts(level)
+    s = sk.s_ntt[..., : len(primes), :]
+    cts = add_mod(ct[0], mul_mod(ct[1], s, p, mu, b), p)  # c0 + c1*s, NTT
+    coeffs = np.asarray(_ntt.negacyclic_intt_nat(cts, plan))  # [*, L, L', N']
+
+    # CRT-compose, centered
+    Q = 1
+    for q in primes:
+        Q = Q * q
+    comp = np.zeros(coeffs.shape[:-2] + coeffs.shape[-1:], dtype=object)
+    for j, qj in enumerate(primes):
+        Mj = Q // qj
+        cj = int(pow(Mj, -1, qj))
+        comp += coeffs[..., j, :].astype(object) * (Mj * cj)
+    comp %= Q
+    centered = np.where(comp > Q // 2, comp - Q, comp)  # objects, centered
+
+    # noise budget (bits): floor(log2((Q/2) / |c(s)|_inf)) via exact ints
+    absmax = np.abs(centered).max(axis=-1)  # [*, L], Python ints
+    budget = np.array(
+        [((Q // 2) // max(int(x), 1)).bit_length() - 1 for x in absmax.flat],
+        dtype=np.int64,
+    ).reshape(absmax.shape)
+
+    # message = centered mod t, then undo the modswitch correction factor
+    t = ctx.t_np.astype(object)  # [L]
+    tb = t[(None,) * (centered.ndim - 2) + (slice(None), None)]
+    m = centered % tb  # [*, L, N'] objects in [0, t)
+    corr = ctx.correction_factor(level)
+    inv_corr = np.array(
+        [pow(int(c), -1, int(t_i)) for c, t_i in zip(corr, ctx.ring.primes)],
+        dtype=object,
+    )
+    m = (m * inv_corr[(None,) * (centered.ndim - 2) + (slice(None), None)]) % tb
+    m_coeffs = m.astype(np.uint64).astype(np.uint32)
+
+    # plaintext coefficients -> slots (forward NTT mod t_i)
+    slots = _ntt.negacyclic_ntt_rev(jnp.asarray(m_coeffs), ctx.plain_plan)
+    return np.asarray(slots), budget

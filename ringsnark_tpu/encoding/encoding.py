@@ -1,0 +1,200 @@
+"""The Encoding API: E(.) with encode/decode/add/mul-by-ring/inner_product.
+
+Mirrors the reference `EncodingElem` surface
+(`/root/reference/ringsnark/seal/seal_ring.hpp:216-409`); a "vector of
+encodings" is one `Encoding` with a leading batch axis, so the prover's
+inner products are fused multiply-accumulate kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..rings.elem import RingElem
+from . import bgv
+from .context import EncodingContext, SecretKey
+
+__all__ = ["Encoding", "DecodingError", "encode", "decode", "inner_product"]
+
+
+class DecodingError(Exception):
+    """Noise budget exhausted (reference `decoding_error`,
+    `seal_ring.tcc:446-454`)."""
+
+
+class Encoding:
+    """A batch of encodings: ciphertext components [*batch, L, L'_lvl, N'].
+
+    `level` counts modswitches applied (static); the implied plaintext
+    correction factor lives in `EncodingContext.correction_factor(level)`.
+    """
+
+    __slots__ = ("ctx", "c0", "c1", "level")
+
+    def __init__(self, ctx: EncodingContext, c0, c1, level: int = 0):
+        self.ctx = ctx
+        self.c0 = c0
+        self.c1 = c1
+        self.level = level
+
+    # ---- shape -------------------------------------------------------------
+
+    @property
+    def batch_shape(self):
+        return self.c0.shape[:-3]
+
+    def __len__(self):
+        assert self.batch_shape
+        return self.c0.shape[0]
+
+    def __getitem__(self, idx):
+        return Encoding(self.ctx, self.c0[idx], self.c1[idx], self.level)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def is_zero_ct(self) -> bool:
+        """Transparent-zero check (host)."""
+        return bool(np.all(np.asarray(self.c0) == 0)) and bool(
+            np.all(np.asarray(self.c1) == 0)
+        )
+
+    # ---- homomorphic ops ---------------------------------------------------
+
+    def __add__(self, other: "Encoding") -> "Encoding":
+        assert self.ctx == other.ctx
+        a, b = self, other
+        while a.level < b.level:
+            a = a.modswitch()
+        while b.level < a.level:
+            b = b.modswitch()
+        c0, c1 = bgv.ct_add(a.ctx, (a.c0, a.c1), (b.c0, b.c1), a.level)
+        return Encoding(a.ctx, c0, c1, a.level)
+
+    def __mul__(self, r) -> "Encoding":
+        """Encoding * RingElem (ciphertext-plaintext multiply)."""
+        assert isinstance(r, RingElem)
+        c0, c1 = bgv.ct_mul_plain(self.ctx, (self.c0, self.c1), r.res, self.level)
+        return Encoding(self.ctx, c0, c1, self.level)
+
+    __rmul__ = __mul__
+
+    def modswitch(self) -> "Encoding":
+        assert self.level + 1 < self.ctx.L_inner, "no more limbs to drop"
+        c0, c1 = bgv.modswitch(self.ctx, (self.c0, self.c1), self.level)
+        return Encoding(self.ctx, c0, c1, self.level + 1)
+
+    def sum_batch(self) -> "Encoding":
+        """Sum over the leading batch axis (lazy u64 accumulate + Barrett)."""
+        from ..ops.modops import barrett_reduce_u64
+
+        p, mu, b = self.ctx.inner_consts(self.level)
+        c0 = barrett_reduce_u64(jnp.sum(self.c0.astype(jnp.uint64), axis=0), p, mu, b)
+        c1 = barrett_reduce_u64(jnp.sum(self.c1.astype(jnp.uint64), axis=0), p, mu, b)
+        return Encoding(self.ctx, c0, c1, self.level)
+
+    def __eq__(self, other):
+        if not isinstance(other, Encoding):
+            return NotImplemented
+        return (
+            self.level == other.level
+            and bool(np.array_equal(np.asarray(self.c0), np.asarray(other.c0)))
+            and bool(np.array_equal(np.asarray(self.c1), np.asarray(other.c1)))
+        )
+
+    def size_in_bits(self) -> int:
+        batch = int(np.prod(self.batch_shape)) if self.batch_shape else 1
+        return self.ctx.size_in_bits(batch, self.level)
+
+    @classmethod
+    def zero(cls, ctx: EncodingContext, batch_shape=(), level: int = 0) -> "Encoding":
+        """The explicit transparent-zero encoding (valid encryption of 0 with
+        zero noise; replaces the reference's SEAL exception dance,
+        `seal_ring.tcc:493-504`)."""
+        shape = (*batch_shape, ctx.L, ctx.L_inner - level, ctx.n_inner)
+        z = jnp.zeros(shape, dtype=jnp.uint32)
+        return cls(ctx, z, z, level)
+
+
+def encode(ctx: EncodingContext, sk: SecretKey, rs: RingElem, key) -> Encoding:
+    """Encrypt a RingElem batch ([*, L, n] slots) under the per-limb keys.
+
+    One fused kernel for the whole batch (vs the reference's per-element
+    OpenMP loop, `seal_ring.tcc:336-357`).  `key` is a jax PRNG key.
+    """
+    slots = rs.broadcast_to_poly().res if rs.res.shape[-1] != ctx.ring.N else rs.res
+    c0, c1 = bgv.encrypt(ctx, sk, slots, key)
+    return Encoding(ctx, c0, c1, 0)
+
+
+def decode(ctx: EncodingContext, sk: SecretKey, e: Encoding) -> RingElem:
+    """Decrypt one encoding back to a RingElem (noise-budget checked).
+
+    Mirrors `seal_ring.tcc:435-477`: budget <= 0 raises DecodingError; the
+    all-zero (transparent) ciphertext decodes to zero.
+    """
+    slots, budget = bgv.decrypt_to_slots(ctx, sk, (e.c0, e.c1), e.level)
+    if not e.is_zero_ct() and (budget <= 0).any():
+        raise DecodingError(
+            f"noise budget exhausted: min budget {int(budget.min())} <= 0"
+        )
+    n = ctx.ring.N
+    return RingElem(ctx.ring, jnp.asarray(slots[..., :n]))
+
+
+def inner_product(
+    a: Encoding,
+    b: RingElem,
+    use_modswitch: bool = True,
+) -> Encoding:
+    """sum_i E_i * r_i over the leading batch axis.
+
+    Mirrors the reference's staged-modswitch schedule
+    (`seal_ring.tcc:361-433`): each term is switched once after the
+    plain-multiply, and the running sum is switched at `num_moduli - 2`
+    evenly spaced checkpoints.  Batched version: terms are grouped into
+    segments by how many total switches they need so every partial sum is
+    performed at a uniform level (the reference's sequential version would
+    add mismatched-level ciphertexts — see DESIGN.md §7).
+    """
+    ctx = a.ctx
+    B = len(a)
+    assert b.res.shape[0] == B
+    # With 31-bit limbs and a 31-bit plain modulus, at least 2 limbs must
+    # remain for any noise headroom (Q/t ≈ 2^31); the deepest usable level:
+    max_level = max(ctx.L_inner - 2, 0)
+    if not use_modswitch or max_level == 0:
+        return (a * b).sum_batch()
+
+    # per-term switch (1) + accumulator checkpoints (max_level - 1), evenly
+    # spaced — the shape of the reference schedule (`seal_ring.tcc:385-431`)
+    # bounded to the 2-limb floor.
+    num_acc_switches = max_level - 1
+    if num_acc_switches == 0:
+        bounds = [B]
+    else:
+        delta = max(B // (num_acc_switches + 1), 1)
+        bounds = [min(delta * (i + 1), B) for i in range(num_acc_switches)] + [B]
+    acc: Encoding | None = None
+    start = 0
+    for seg_idx, end in enumerate(bounds):
+        if end > start:
+            seg = (a[start:end] * b[start:end]).modswitch()  # per-term switch
+            seg_sum = seg.sum_batch()
+            while acc is not None and seg_sum.level < acc.level:
+                seg_sum = seg_sum.modswitch()
+            acc = seg_sum if acc is None else acc + seg_sum
+        start = end
+        if (
+            seg_idx < len(bounds) - 1
+            and acc is not None
+            and acc.level < max_level
+        ):
+            acc = acc.modswitch()
+    assert acc is not None
+    return acc
