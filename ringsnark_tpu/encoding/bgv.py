@@ -11,6 +11,8 @@ Replaces SEAL's Encryptor/Decryptor/Evaluator usage in
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -97,6 +99,11 @@ def encrypt(ctx: EncodingContext, sk: SecretKey, slots, key):
     slots: uint32[*batch, L, n] -> (c0, c1): uint32[*batch, L, L', N'] with
     c1 = a,  c0 = -(a . s) + t*e + m   so that c0 + c1.s = m + t*e (mod Q).
     """
+    return _encrypt_kernel(ctx, sk.s_ntt, slots, key)
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def _encrypt_kernel(ctx: EncodingContext, s_ntt, slots, key):
     batch_shape = slots.shape[:-2]
     k_a, k_e = jax.random.split(key)
     a = _sample_uniform(ctx, k_a, batch_shape)
@@ -104,12 +111,13 @@ def encrypt(ctx: EncodingContext, sk: SecretKey, slots, key):
     m = plain_to_inner_ntt(ctx, slots, level=0)
     p, mu, b = ctx.inner_consts(0)
     # limb-constant broadcast: arrays are [*, L, L', N'], consts [L', 1]
-    As = mul_mod(a, sk.s_ntt, p, mu, b)
+    As = mul_mod(a, s_ntt, p, mu, b)
     te = mul_mod(e, ctx.t_mod_Q, p, mu, b)
     c0 = add_mod(sub_mod(m, As, p), te, p)
     return c0, a
 
 
+@partial(jax.jit, static_argnames=("ctx", "level"))
 def ct_add(ctx: EncodingContext, ct_a, ct_b, level: int):
     p = ctx.inner_consts(level)[0]
     return (
@@ -118,6 +126,7 @@ def ct_add(ctx: EncodingContext, ct_a, ct_b, level: int):
     )
 
 
+@partial(jax.jit, static_argnames=("ctx", "level"))
 def ct_mul_plain(ctx: EncodingContext, ct, slots, level: int):
     """ct * plain(slot values) — pointwise in NTT form
     (`seal_ring.tcc:509-548` multiply_plain)."""
@@ -129,6 +138,7 @@ def ct_mul_plain(ctx: EncodingContext, ct, slots, level: int):
     )
 
 
+@partial(jax.jit, static_argnames=("ctx", "level"))
 def modswitch(ctx: EncodingContext, ct, level: int):
     """Drop the last inner limb: (c - d)/Q_last with d ≡ c (mod Q_last),
     d ≡ 0 (mod t_i), |d| small.  Returns ciphertext at level+1.
@@ -172,6 +182,16 @@ def modswitch(ctx: EncodingContext, ct, level: int):
     return tuple(out)
 
 
+@partial(jax.jit, static_argnames=("ctx", "level"))
+def _ct_s_coeffs(ctx: EncodingContext, s_ntt, c0, c1, level: int):
+    """Coefficient form of c0 + c1*s at the given level: [*, L, L'_lvl, N']."""
+    plan = ctx.inner_plan(level)
+    p, mu, b = ctx.inner_consts(level)
+    s = s_ntt[..., : len(ctx.level_primes(level)), :]
+    cts = add_mod(c0, mul_mod(c1, s, p, mu, b), p)
+    return _ntt.negacyclic_intt_nat(cts, plan)
+
+
 def decrypt_to_slots(ctx: EncodingContext, sk: SecretKey, ct, level: int):
     """Decrypt -> (slot values uint32[*, L, N'], noise budget bits [*, L]).
 
@@ -180,12 +200,8 @@ def decrypt_to_slots(ctx: EncodingContext, sk: SecretKey, ct, level: int):
     `invariant_noise_budget(...) <= 0` -> decoding_error semantics
     (`seal_ring.tcc:446-454`).
     """
-    plan = ctx.inner_plan(level)
     primes = ctx.level_primes(level)
-    p, mu, b = ctx.inner_consts(level)
-    s = sk.s_ntt[..., : len(primes), :]
-    cts = add_mod(ct[0], mul_mod(ct[1], s, p, mu, b), p)  # c0 + c1*s, NTT
-    coeffs = np.asarray(_ntt.negacyclic_intt_nat(cts, plan))  # [*, L, L', N']
+    coeffs = np.asarray(_ct_s_coeffs(ctx, sk.s_ntt, ct[0], ct[1], level))
 
     # CRT-compose, centered
     Q = 1

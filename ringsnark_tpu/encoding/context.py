@@ -130,7 +130,7 @@ class EncodingContext:
         """t_i mod Q_j as uint32[L, L', 1] (broadcast over N')."""
         t = self.t_np[:, None].astype(np.uint64)
         Q = self.Q_np[None, :].astype(np.uint64)
-        return jnp.asarray((t % Q).astype(np.uint32)[:, :, None])
+        return (t % Q).astype(np.uint32)[:, :, None]
 
     def Q_total(self, level: int = 0) -> int:
         return math.prod(self.level_primes(level))
@@ -155,9 +155,9 @@ class EncodingContext:
     def _limb_consts(self, primes: tuple[int, ...]):
         """(p, mu, bits) broadcast arrays [len, 1] for a prime tuple."""
         info = [_primes.make_prime(p) for p in primes]
-        p = jnp.asarray(np.array(primes, dtype=np.uint32))[:, None]
-        mu = jnp.asarray(np.array([i.mu for i in info], dtype=np.uint64))[:, None]
-        b = jnp.asarray(np.array([i.bits for i in info], dtype=np.uint32))[:, None]
+        p = np.array(primes, dtype=np.uint32)[:, None]
+        mu = np.array([i.mu for i in info], dtype=np.uint64)[:, None]
+        b = np.array([i.bits for i in info], dtype=np.uint32)[:, None]
         return p, mu, b
 
     def inner_consts(self, level: int = 0):

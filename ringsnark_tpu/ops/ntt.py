@@ -115,12 +115,12 @@ def get_plan(primes: tuple[int, ...], M: int, negacyclic: bool = False) -> NTTPl
     for s in range(logM):
         d = M >> (s + 1)
         stride = M // (2 * d)
-        fwd_tw.append(jnp.asarray(w_pows[:, : d * stride : stride]))  # [L, d]
+        fwd_tw.append(np.ascontiguousarray(w_pows[:, : d * stride : stride]))  # [L, d]
     inv_tw = []
     for s in range(logM):
         d = 1 << s
         stride = M // (2 * d)
-        inv_tw.append(jnp.asarray(winv_pows[:, : d * stride : stride]))
+        inv_tw.append(np.ascontiguousarray(winv_pows[:, : d * stride : stride]))
 
     minv_np = np.array([pow(M, p - 2, p) for p in primes], dtype=np.uint32)
 
@@ -145,21 +145,22 @@ def get_plan(primes: tuple[int, ...], M: int, negacyclic: bool = False) -> NTTPl
         psiinv_scaled = (psiinv_pows.astype(np.uint64) * minv_np[:, None]) % p_np[
             :, None
         ].astype(np.uint64)
-        psi = jnp.asarray(psi_pows)
-        psi_inv_scaled = jnp.asarray(psiinv_scaled.astype(np.uint32))
+        psi = psi_pows
+        psi_inv_scaled = psiinv_scaled.astype(np.uint32)
 
     br = bitrev_indices(M)
     eval_points = w_pows[:, br]  # [L, M]: point for slot j
 
+    # all tables are numpy (constants under jit; see rings/context.py note)
     return NTTPlan(
         primes=primes,
         M=M,
-        p=jnp.asarray(p_np[:, None]),
-        mu=jnp.asarray(mu_np[:, None]),
-        pbits=jnp.asarray(bits_np[:, None]),
+        p=p_np[:, None],
+        mu=mu_np[:, None],
+        pbits=bits_np[:, None],
         fwd_tw=tuple(fwd_tw),
         inv_tw=tuple(inv_tw),
-        minv=jnp.asarray(minv_np[:, None]),
+        minv=minv_np[:, None],
         psi=psi,
         psi_inv_scaled=psi_inv_scaled,
         w_np=tuple(ws),

@@ -22,6 +22,8 @@ list-based polynomials for cross-validation on any domain/element type.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -84,9 +86,21 @@ def r1cs_to_qrp_instance_map_with_evaluation(
 
     At[k] = sum_i u_i * A[i,k] — a transposed SpMV with u = Lagrange values,
     one segment-sum per matrix.  Returns batched At/Bt/Ct ([nv+1, L, nc]),
-    Ht ([M+1, L, 1]) and Zt.
+    Ht ([M+1, L, 1]) and Zt.  One jitted graph per shape signature.
     """
     ctx = comp.ctx
+    At, Bt, Ct, Ht, Zt = _instance_eval_kernel(comp, t.res, domain)
+    return QRPInstanceEvaluation(
+        domain, comp.num_variables, domain.m, comp.primary_input_size,
+        t, RingElem(ctx, At), RingElem(ctx, Bt), RingElem(ctx, Ct),
+        RingElem(ctx, Ht), RingElem(ctx, Zt),
+    )
+
+
+@partial(jax.jit, static_argnames=("domain",))
+def _instance_eval_kernel(comp, t_res, domain):
+    ctx = comp.ctx
+    t = RingElem(ctx, t_res)
     u = domain.evaluate_all_lagrange_polynomials(t).res  # [M, L, 1]
     Zt = domain.compute_vanishing_polynomial(t)
 
@@ -97,15 +111,10 @@ def r1cs_to_qrp_instance_map_with_evaluation(
         acc = jax.ops.segment_sum(
             prods.astype(jnp.uint64), cols, num_segments=comp.num_variables + 1
         )
-        outs.append(
-            RingElem(ctx, barrett_reduce_u64(acc, ctx.p, ctx.mu, ctx.pbits))
-        )
+        outs.append(barrett_reduce_u64(acc, ctx.p, ctx.mu, ctx.pbits))
     At, Bt, Ct = outs
-    Ht = RingElem(ctx, mod_powers_device(t.res, domain.m + 1, ctx))
-    return QRPInstanceEvaluation(
-        domain, comp.num_variables, domain.m, comp.primary_input_size,
-        t, At, Bt, Ct, Ht, Zt,
-    )
+    Ht = mod_powers_device(t_res, domain.m + 1, ctx)
+    return At, Bt, Ct, Ht, Zt.res
 
 
 # ---------------------------------------------------------------------------
@@ -145,16 +154,50 @@ def r1cs_to_qrp_witness_map(
     d3: RingElem,
     domain: RootsDomain,
 ) -> QRPWitness:
-    """TPU-fast witness map (`r1cs_to_qrp.tcc:148-259` semantics)."""
+    """TPU-fast witness map (`r1cs_to_qrp.tcc:148-259` semantics).
+
+    One jit-compiled graph per (shape, domain) signature: 9 SpMVs + 9 iNTTs +
+    the size-2M product/quotient + the ZK patch.
+    """
+    ctx = comp.ctx
+    full, io, mid = _assignment_batches(ctx, primary, auxiliary)
+    arrs = _witness_map_kernel(
+        comp, full.res, io.res, mid.res, d1.res, d2.res, d3.res, domain
+    )
+    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = arrs
+
+    def wrap(arr):
+        return RingElem(ctx, arr)
+
+    return QRPWitness(
+        num_variables=comp.num_variables,
+        degree=domain.m,
+        num_inputs=comp.primary_input_size,
+        d1=d1, d2=d2, d3=d3,
+        coefficients_for_ABCs=RingElem.stack(list(primary) + list(auxiliary))
+        if (primary or auxiliary)
+        else RingElem(ctx, jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)),
+        coefficients_for_A_io=wrap(a_io),
+        coefficients_for_B_io=wrap(b_io),
+        coefficients_for_C_io=wrap(c_io),
+        coefficients_for_A_mid=wrap(a_mid),
+        coefficients_for_B_mid=wrap(b_mid),
+        coefficients_for_C_mid=wrap(c_mid),
+        coefficients_for_Z=wrap(Z),
+        coefficients_for_H=wrap(H),
+    )
+
+
+@partial(jax.jit, static_argnames=("domain",))
+def _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r, domain):
     ctx = comp.ctx
     M = domain.m
-    full, io, mid = _assignment_batches(ctx, primary, auxiliary)
 
     # (1) constraint evaluations on the domain (rows beyond num_constraints
     # are zero — padding constraints 0*0=0)
     evals = {}
-    for name, z in (("full", full), ("io", io), ("mid", mid)):
-        evals[name] = comp.eval_matrices(z.res, num_rows=M)  # 3 x [M, L, n]
+    for name, z in (("full", z_full), ("io", z_io), ("mid", z_mid)):
+        evals[name] = comp.eval_matrices(z, num_rows=M)  # 3 x [M, L, n]
 
     # (2) interpolate to coefficients: 9 inverse NTTs
     coeffs = {
@@ -183,14 +226,14 @@ def r1cs_to_qrp_witness_map(
     # (6) patch: (d2*A + d1*B - d3) + d1*d2*Z   (r1cs_to_qrp.tcc:229-235)
     p_, mu_, b_ = ctx.p, ctx.mu, ctx.pbits
     patch = add_mod(
-        mul_mod(aA, d2.res, p_, mu_, b_),
-        mul_mod(aB, d1.res, p_, mu_, b_),
+        mul_mod(aA, d2r, p_, mu_, b_),
+        mul_mod(aB, d1r, p_, mu_, b_),
         p_,
     )  # [M, L, n]
     H = add_mod(h_main, patch, p_)
-    d1d2 = mul_mod(d1.res, d2.res, p_, mu_, b_)  # [L, 1]
+    d1d2 = mul_mod(d1r, d2r, p_, mu_, b_)  # [L, 1]
     n = H.shape[-1]
-    head = sub_mod(sub_mod(H[0], d3.res, p_), d1d2, p_)  # H[0] - d3 - d1*d2
+    head = sub_mod(sub_mod(H[0], d3r, p_), d1d2, p_)  # H[0] - d3 - d1*d2
     tail = jnp.broadcast_to(d1d2, (1, ctx.L, n)).astype(jnp.uint32)  # + d1*d2*X^M
     H = jnp.concatenate([head[None], H[1:], tail], axis=0)  # [M+1, L, n]
 
@@ -200,28 +243,9 @@ def r1cs_to_qrp_witness_map(
     ones = jnp.ones((1, ctx.L, 1), dtype=jnp.uint32)
     Z = jnp.concatenate([negone, zeros, ones], axis=0)
 
-    def wrap(arr):
-        return RingElem(ctx, arr)
-
-    a_io, b_io, c_io = (wrap(c) for c in coeffs["io"])
-    a_mid, b_mid, c_mid = (wrap(c) for c in coeffs["mid"])
-    return QRPWitness(
-        num_variables=comp.num_variables,
-        degree=M,
-        num_inputs=comp.primary_input_size,
-        d1=d1, d2=d2, d3=d3,
-        coefficients_for_ABCs=RingElem.stack(list(primary) + list(auxiliary))
-        if (primary or auxiliary)
-        else RingElem(ctx, jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)),
-        coefficients_for_A_io=a_io,
-        coefficients_for_B_io=b_io,
-        coefficients_for_C_io=c_io,
-        coefficients_for_A_mid=a_mid,
-        coefficients_for_B_mid=b_mid,
-        coefficients_for_C_mid=c_mid,
-        coefficients_for_Z=wrap(Z),
-        coefficients_for_H=wrap(H),
-    )
+    a_io, b_io, c_io = coeffs["io"]
+    a_mid, b_mid, c_mid = coeffs["mid"]
+    return (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H)
 
 
 # ---------------------------------------------------------------------------

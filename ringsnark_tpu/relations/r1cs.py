@@ -244,3 +244,22 @@ class CompiledR1CS:
         az, bz, cz = self.eval_matrices(full_assignment_with_one)
         ab = mul_mod(az, bz, self.ctx.p, self.ctx.mu, self.ctx.pbits)
         return bool(np.all(np.asarray(ab) == np.asarray(cz)))
+
+
+def _comp_flatten(c: CompiledR1CS):
+    return (c.rows, c.cols, c.coeffs), (
+        c.ctx, c.num_constraints, c.num_variables, c.primary_input_size,
+    )
+
+
+def _comp_unflatten(aux, children):
+    rows, cols, coeffs = children
+    ctx, m, nv, pi = aux
+    return CompiledR1CS(
+        ctx=ctx, num_constraints=m, num_variables=nv, primary_input_size=pi,
+        rows=tuple(rows), cols=tuple(cols), coeffs=tuple(coeffs),
+    )
+
+
+# pytree: jitted kernels take a CompiledR1CS as a traced argument
+jax.tree_util.register_pytree_node(CompiledR1CS, _comp_flatten, _comp_unflatten)

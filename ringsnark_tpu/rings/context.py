@@ -61,19 +61,23 @@ class RingContext:
 
     # ---- broadcast-ready limb constants, shape [L, 1] ---------------------
 
+    # NOTE: limb constants are numpy arrays on purpose — jit treats them as
+    # embedded constants; lazily-created jnp arrays would leak tracers when
+    # the cached_property first fires inside a trace.
+
     @cached_property
     def p(self):
-        return jnp.asarray(self.primes_np[:, None])
+        return self.primes_np[:, None]
 
     @cached_property
     def mu(self):
         info = [_primes.make_prime(p) for p in self.primes]
-        return jnp.asarray(np.array([i.mu for i in info], dtype=np.uint64))[:, None]
+        return np.array([i.mu for i in info], dtype=np.uint64)[:, None]
 
     @cached_property
     def pbits(self):
         info = [_primes.make_prime(p) for p in self.primes]
-        return jnp.asarray(np.array([i.bits for i in info], dtype=np.uint32))[:, None]
+        return np.array([i.bits for i in info], dtype=np.uint32)[:, None]
 
     # ---- NTT plan for coefficient <-> slot conversion ---------------------
 

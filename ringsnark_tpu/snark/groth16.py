@@ -1,0 +1,214 @@
+"""ringGroth16: Groth16 over rings with linear-only encodings.
+
+Mirrors `/root/reference/ringsnark/zk_proof_systems/groth16/groth16.tcc`:
+CRS of E(alpha), E(beta), E(s^i), E((beta A_k + alpha B_k + C_k)/gamma) for io,
+the same /delta for mid wires, E(Z(s) s^i / delta); 3-element proof (A, B, C);
+single verifier check A*B = alpha*beta + gamma*f_io + delta*C.
+
+The prover is non-ZK — `use_zk = false` is hardcoded in the reference
+(`groth16.tcc:76-84`); mirrored here and documented (the r/s randomization of
+standard Groth16 is not implemented there either).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+import jax
+
+from ..encoding import Encoding, encode, decode, inner_product, keygen
+from ..reductions.r1cs_to_qrp import (
+    r1cs_to_qrp_instance_map_with_evaluation,
+    r1cs_to_qrp_witness_map,
+    _interp,
+)
+from ..relations.r1cs import R1CSConstraintSystem, CompiledR1CS
+from ..rings.elem import RingElem
+from ..utils.domain import RootsDomain
+from ..utils.poly_arr import eval_coeffs_at, ring_batch_scale
+from .api import KeyPair, SnarkParams
+
+__all__ = ["ProvingKey", "VerificationKey", "Proof", "generator", "prover", "verifier"]
+
+
+@dataclass
+class ProvingKey:
+    """CRS (groth16.hpp:10-48)."""
+
+    constraint_system: R1CSConstraintSystem
+    compiled: CompiledR1CS
+    domain: RootsDomain
+    params: SnarkParams
+    alpha: Encoding  # E(alpha)
+    beta: Encoding  # E(beta)
+    s_pows: Encoding  # [M+1] E(s^i)
+    gamma_io: Encoding  # [primary+1] E((beta A_k + alpha B_k + C_k)/gamma)
+    delta_mid: Optional[Encoding]  # [aux] same with /delta
+    delta_ts: Encoding  # [M+1] E(Z(s) s^i / delta)
+    pk_enc: Any = None
+
+    def size_in_bits(self) -> int:
+        total = 0
+        for e in (self.alpha, self.beta, self.s_pows, self.gamma_io,
+                  self.delta_mid, self.delta_ts):
+            if e is not None:
+                total += e.size_in_bits()
+        return total
+
+
+@dataclass
+class VerificationKey:
+    pk: ProvingKey
+    s: RingElem
+    alpha: RingElem
+    beta: RingElem
+    gamma: RingElem
+    delta: RingElem
+    sk_enc: Any
+
+    def size_in_bits(self) -> int:
+        return self.pk.size_in_bits()
+
+
+@dataclass
+class Proof:
+    """3 encodings (groth16.hpp:106-116)."""
+
+    A: Encoding
+    B: Encoding
+    C: Encoding
+
+    def size_in_bits(self) -> int:
+        return self.A.size_in_bits() + self.B.size_in_bits() + self.C.size_in_bits()
+
+
+def generator(
+    cs: R1CSConstraintSystem,
+    params: SnarkParams,
+    rng: np.random.Generator,
+    key,
+) -> KeyPair:
+    """Trusted setup (`groth16.tcc:5-67`)."""
+    ctx = params.ring
+    domain = RootsDomain(ctx, max(cs.num_constraints(), 1))
+    comp = cs.compile(ctx)
+    s = RingElem.random_exceptional_element(ctx, rng, domain)
+    qrp = r1cs_to_qrp_instance_map_with_evaluation(comp, s, domain)
+
+    pk_enc, sk_enc = keygen(params.enc, rng)
+
+    alpha = RingElem.random_invertible_element(ctx, rng)
+    beta = RingElem.random_invertible_element(ctx, rng)
+    gamma = RingElem.random_invertible_element(ctx, rng)
+    delta = RingElem.random_invertible_element(ctx, rng)
+    gamma_inv = gamma.inverse()
+    delta_inv = delta.inverse()
+
+    s_pows_ring = qrp.Ht  # [M+1, L, 1]
+    delta_ts_ring = ring_batch_scale(
+        ring_batch_scale(s_pows_ring, qrp.Zt), delta_inv
+    )
+
+    # (beta A_k + alpha B_k + C_k) / gamma  for io (incl. constant column),
+    # same with /delta for mid wires
+    combo = (
+        ring_batch_scale(qrp.At, beta)
+        + ring_batch_scale(qrp.Bt, alpha)
+        + qrp.Ct
+    )  # [nv+1, L, nc]
+    n_io = cs.primary_input_size + 1
+    gamma_io_ring = ring_batch_scale(RingElem(ctx, combo.res[:n_io]), gamma_inv)
+    n_aux = cs.auxiliary_input_size
+
+    keys = jax.random.split(key, 6)
+    alpha_enc = encode(params.enc, sk_enc, RingElem.stack([alpha]), keys[0])[0]
+    beta_enc = encode(params.enc, sk_enc, RingElem.stack([beta]), keys[1])[0]
+    s_pows = encode(params.enc, sk_enc, s_pows_ring, keys[2])
+    gamma_io = encode(params.enc, sk_enc, gamma_io_ring, keys[3])
+    delta_mid = None
+    if n_aux > 0:
+        delta_mid_ring = ring_batch_scale(
+            RingElem(ctx, combo.res[n_io:]), delta_inv
+        )
+        delta_mid = encode(params.enc, sk_enc, delta_mid_ring, keys[4])
+    delta_ts = encode(params.enc, sk_enc, delta_ts_ring, keys[5])
+
+    pk = ProvingKey(
+        constraint_system=cs, compiled=comp, domain=domain, params=params,
+        alpha=alpha_enc, beta=beta_enc, s_pows=s_pows, gamma_io=gamma_io,
+        delta_mid=delta_mid, delta_ts=delta_ts, pk_enc=pk_enc,
+    )
+    vk = VerificationKey(pk=pk, s=s, alpha=alpha, beta=beta, gamma=gamma,
+                         delta=delta, sk_enc=sk_enc)
+    return KeyPair(pk=pk, vk=vk)
+
+
+def prover(
+    pk: ProvingKey,
+    primary_input: list,
+    auxiliary_input: list,
+    rng: np.random.Generator | None = None,
+) -> Proof:
+    """Prove (`groth16.tcc:69-115`).  Non-ZK: d1 = d2 = d3 = 0 (hardcoded
+    `use_zk = false` in the reference, mirrored and documented)."""
+    ctx = pk.params.ring
+    zero = RingElem.zero(ctx)
+    wit = r1cs_to_qrp_witness_map(
+        pk.compiled, primary_input, auxiliary_input, zero, zero, zero, pk.domain
+    )
+    M = pk.domain.m
+    ums = pk.params.use_modswitch
+    sp_lo = pk.s_pows[:M]
+
+    def ip(enc, coeffs):
+        return inner_product(enc, coeffs, use_modswitch=ums)
+
+    # A = E(alpha) + E(A_io(s)) + E(A_mid(s)); io+mid sum to the full A
+    a_full = wit.coefficients_for_A_io + wit.coefficients_for_A_mid
+    a_enc = ip(sp_lo, a_full) + pk.alpha
+    b_full = wit.coefficients_for_B_io + wit.coefficients_for_B_mid
+    b_enc = ip(sp_lo, b_full) + pk.beta
+
+    c_enc = ip(pk.delta_ts, wit.coefficients_for_H)
+    if len(auxiliary_input) > 0:
+        aux_batch = RingElem.stack(list(auxiliary_input))
+        c_enc = c_enc + ip(pk.delta_mid, aux_batch)
+
+    return Proof(A=a_enc, B=b_enc, C=c_enc)
+
+
+def verifier(
+    vk: VerificationKey,
+    primary_input: list,
+    proof: Proof,
+) -> bool:
+    """Verify (`groth16.tcc:117-170`): A*B = alpha*beta + gamma*f_io + delta*C."""
+    pk = vk.pk
+    ctx = pk.params.ring
+    enc_ctx = pk.params.enc
+    domain = pk.domain
+
+    A = decode(enc_ctx, vk.sk_enc, proof.A)
+    B = decode(enc_ctx, vk.sk_enc, proof.B)
+    C = decode(enc_ctx, vk.sk_enc, proof.C)
+
+    qrp = r1cs_to_qrp_instance_map_with_evaluation(pk.compiled, vk.s, domain)
+
+    one = RingElem.one(ctx)
+    zero = RingElem.zero(ctx)
+    n_aux = pk.constraint_system.auxiliary_input_size
+    z_io = RingElem.stack([one] + list(primary_input) + [zero] * n_aux)
+    az, bz, cz = pk.compiled.eval_matrices(z_io.res, num_rows=domain.m)
+    v_io = eval_coeffs_at(RingElem(ctx, _interp(domain, az)), vk.s)
+    w_io = eval_coeffs_at(RingElem(ctx, _interp(domain, bz)), vk.s)
+    y_io = eval_coeffs_at(RingElem(ctx, _interp(domain, cz)), vk.s)
+
+    # f_io = (beta v_io + alpha w_io + y_io) / gamma  (kept /gamma then *gamma
+    # to mirror the reference check shape, groth16.tcc:159-167)
+    f_io = (vk.beta * v_io + vk.alpha * w_io + y_io) / vk.gamma
+
+    lhs = A * B
+    rhs = vk.alpha * vk.beta + vk.gamma * f_io + vk.delta * C
+    return lhs == rhs

@@ -1,0 +1,327 @@
+"""Rinocchio: designated-verifier zkSNARK for ring arithmetic.
+
+Mirrors `/root/reference/ringsnark/zk_proof_systems/rinocchio/rinocchio.tcc`
+(protocol of Ganesh–Nitulescu–Soria-Vazquez, eprint 2021/322, per the
+companion spec docs/Rinocchio.pdf): CRS of encoded s-powers and lincheck
+terms, 9-element proof (A, A', B, B', C, C', D, D', F), 6 verifier checks.
+
+TPU design: all CRS vectors are single `Encoding`/`RingElem` batches; the
+prover's 10 OpenMP-section inner products (`rinocchio.tcc:106-163`) become
+batched multiply-accumulate kernels with the staged modswitch schedule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+import jax
+
+from ..encoding import Encoding, encode, decode, inner_product, keygen
+from ..reductions.r1cs_to_qrp import (
+    r1cs_to_qrp_instance_map_with_evaluation,
+    r1cs_to_qrp_witness_map,
+)
+from ..relations.r1cs import R1CSConstraintSystem, CompiledR1CS
+from ..rings.elem import RingElem
+from ..utils.domain import RootsDomain
+from ..utils.poly_arr import eval_coeffs_at, ring_batch_scale
+from .api import KeyPair, SnarkParams
+
+__all__ = ["ProvingKey", "VerificationKey", "Proof", "generator", "prover", "verifier"]
+
+
+@dataclass
+class ProvingKey:
+    """CRS (rinocchio.hpp:10-58).  `alpha_rv_ts`..`ry_ys` are carried for
+    CRS-shape parity though unused by this prover (reference marks them
+    "Unused?", rinocchio.hpp:18-19)."""
+
+    constraint_system: R1CSConstraintSystem
+    compiled: CompiledR1CS
+    domain: RootsDomain
+    params: SnarkParams
+    s_pows: Encoding  # [M+1] E(s^i)
+    alpha_s_pows: Encoding  # [M+1] E(alpha s^i)
+    beta_prods: Optional[Encoding]  # [aux] E(beta(r_v v_k + r_w w_k + r_y y_k)(s))
+    beta_rv_ts: Optional[Encoding]  # E(beta Z(s) r_v)
+    beta_rw_ts: Optional[Encoding]
+    beta_ry_ts: Optional[Encoding]
+    alpha_rv_ts: Optional[Encoding]
+    alpha_rw_ts: Optional[Encoding]
+    alpha_ry_ts: Optional[Encoding]
+    rv_vs: Optional[Encoding]
+    rw_ws: Optional[Encoding]
+    ry_ys: Optional[Encoding]
+    pk_enc: Any = None
+
+    def size_in_bits(self) -> int:
+        total = 0
+        for e in (self.s_pows, self.alpha_s_pows, self.beta_prods,
+                  self.beta_rv_ts, self.beta_rw_ts, self.beta_ry_ts,
+                  self.alpha_rv_ts, self.alpha_rw_ts, self.alpha_ry_ts,
+                  self.rv_vs, self.rw_ws, self.ry_ys):
+            if e is not None:
+                total += e.size_in_bits()
+        return total
+
+
+@dataclass
+class VerificationKey:
+    """Designated-verifier key: trapdoors + decoding key (rinocchio.hpp:61-97)."""
+
+    pk: ProvingKey
+    s: RingElem
+    alpha: RingElem
+    beta: RingElem
+    r_v: RingElem
+    r_w: RingElem
+    r_y: RingElem
+    sk_enc: Any
+
+    def size_in_bits(self) -> int:
+        return self.pk.size_in_bits()
+
+
+@dataclass
+class Proof:
+    """9 encodings (rinocchio.hpp:117-146); F is None when there are no
+    auxiliary inputs (non-ZK mode, rinocchio.tcc:177-185 / 200-205)."""
+
+    A: Encoding
+    A_prime: Encoding
+    B: Encoding
+    B_prime: Encoding
+    C: Encoding
+    C_prime: Encoding
+    D: Encoding
+    D_prime: Encoding
+    F: Optional[Encoding]
+
+    def size_in_bits(self) -> int:
+        total = 0
+        for e in (self.A, self.A_prime, self.B, self.B_prime, self.C,
+                  self.C_prime, self.D, self.D_prime, self.F):
+            if e is not None:
+                total += e.size_in_bits()
+        return total
+
+
+def generator(
+    cs: R1CSConstraintSystem,
+    params: SnarkParams,
+    rng: np.random.Generator,
+    key,
+) -> KeyPair:
+    """Trusted setup (`rinocchio.tcc:5-72`)."""
+    ctx = params.ring
+    domain = RootsDomain(ctx, max(cs.num_constraints(), 1))
+    comp = cs.compile(ctx)
+    s = RingElem.random_exceptional_element(ctx, rng, domain)
+    qrp = r1cs_to_qrp_instance_map_with_evaluation(comp, s, domain)
+
+    pk_enc, sk_enc = keygen(params.enc, rng)
+
+    alpha = RingElem.random_invertible_element(ctx, rng)
+    r_v = RingElem.random_invertible_element(ctx, rng)
+    r_w = RingElem.random_invertible_element(ctx, rng)
+    r_y = r_v * r_w
+    beta = RingElem.random_nonzero_element(ctx, rng)
+
+    s_pows_ring = qrp.Ht  # [M+1, L, 1] — the monomials 1, s, ..., s^M
+    alpha_s_pows_ring = ring_batch_scale(s_pows_ring, alpha)
+
+    n_aux = cs.auxiliary_input_size
+    keys = jax.random.split(key, 8)
+    s_pows = encode(params.enc, sk_enc, s_pows_ring, keys[0])
+    alpha_s_pows = encode(params.enc, sk_enc, alpha_s_pows_ring, keys[1])
+
+    beta_prods = rv_vs = rw_ws = ry_ys = None
+    if n_aux > 0:
+        aux_slice = slice(cs.primary_input_size + 1, cs.num_variables() + 1)
+        At_aux = RingElem(ctx, qrp.At.res[aux_slice])
+        Bt_aux = RingElem(ctx, qrp.Bt.res[aux_slice])
+        Ct_aux = RingElem(ctx, qrp.Ct.res[aux_slice])
+        rv_vs_ring = ring_batch_scale(At_aux, r_v)
+        rw_ws_ring = ring_batch_scale(Bt_aux, r_w)
+        ry_ys_ring = ring_batch_scale(Ct_aux, r_y)
+        lincheck = ring_batch_scale(rv_vs_ring + rw_ws_ring + ry_ys_ring, beta)
+        beta_prods = encode(params.enc, sk_enc, lincheck, keys[2])
+        rv_vs = encode(params.enc, sk_enc, rv_vs_ring, keys[3])
+        rw_ws = encode(params.enc, sk_enc, rw_ws_ring, keys[4])
+        ry_ys = encode(params.enc, sk_enc, ry_ys_ring, keys[5])
+
+    beta_Zt = beta * qrp.Zt
+    alpha_Zt = alpha * qrp.Zt
+    shift_terms = RingElem.stack(
+        [beta_Zt * r_v, beta_Zt * r_w, beta_Zt * r_y,
+         alpha_Zt * r_v, alpha_Zt * r_w, alpha_Zt * r_y]
+    )
+    shifts = encode(params.enc, sk_enc, shift_terms, keys[6])
+
+    pk = ProvingKey(
+        constraint_system=cs,
+        compiled=comp,
+        domain=domain,
+        params=params,
+        s_pows=s_pows,
+        alpha_s_pows=alpha_s_pows,
+        beta_prods=beta_prods,
+        beta_rv_ts=shifts[0],
+        beta_rw_ts=shifts[1],
+        beta_ry_ts=shifts[2],
+        alpha_rv_ts=shifts[3],
+        alpha_rw_ts=shifts[4],
+        alpha_ry_ts=shifts[5],
+        rv_vs=rv_vs,
+        rw_ws=rw_ws,
+        ry_ys=ry_ys,
+        pk_enc=pk_enc,
+    )
+    vk = VerificationKey(pk=pk, s=s, alpha=alpha, beta=beta,
+                         r_v=r_v, r_w=r_w, r_y=r_y, sk_enc=sk_enc)
+    return KeyPair(pk=pk, vk=vk)
+
+
+def prover(
+    pk: ProvingKey,
+    primary_input: list,
+    auxiliary_input: list,
+    rng: np.random.Generator | None = None,
+) -> Proof:
+    """Prove (`rinocchio.tcc:75-190`).
+
+    ZK auto-disables when there are no auxiliary inputs
+    (`rinocchio.tcc:81-90`).
+    """
+    ctx = pk.params.ring
+    rng = rng or np.random.default_rng()
+    use_zk = len(auxiliary_input) > 0
+    zero = RingElem.zero(ctx)
+    d1 = RingElem.random_invertible_element(ctx, rng) if use_zk else zero
+    d2 = RingElem.random_invertible_element(ctx, rng) if use_zk else zero
+    d3 = RingElem.random_invertible_element(ctx, rng) if use_zk else zero
+
+    wit = r1cs_to_qrp_witness_map(
+        pk.compiled, primary_input, auxiliary_input, d1, d2, d3, pk.domain
+    )
+
+    M = pk.domain.m
+    sp_lo = pk.s_pows[:M]  # E(s^0..s^{M-1})
+    asp_lo = pk.alpha_s_pows[:M]
+    ums = pk.params.use_modswitch
+
+    def ip(enc, coeffs):
+        return inner_product(enc, coeffs, use_modswitch=ums)
+
+    a_mid = wit.coefficients_for_A_mid
+    b_mid = wit.coefficients_for_B_mid
+    c_mid = wit.coefficients_for_C_mid
+    h = wit.coefficients_for_H
+
+    # ZK shifts folded into the coefficient vectors: A_mid + d*Z has coeffs
+    # [a_0 - d, a_1, ..., a_{M-1}, d] since Z = X^M - 1.  The reference
+    # instead multiplies the finished (noisy) E(Z(s)) by d
+    # (`rinocchio.tcc:167-174`) and leaves this very fold as a TODO
+    # (`rinocchio.tcc:166`); doing it here keeps every ciphertext-plaintext
+    # multiply on fresh CRS encodings — essential for our 31-bit-limb noise
+    # budget and two inner products cheaper (no z_enc/alpha_z_enc).
+    def shifted(coeffs: RingElem, d: RingElem) -> RingElem:
+        import jax.numpy as jnp
+
+        head = (coeffs[0] - d).res[None]
+        tail = jnp.broadcast_to(d.res[None], (1, *coeffs.res.shape[1:]))
+        return RingElem(ctx, jnp.concatenate([head, coeffs.res[1:], tail], axis=0))
+
+    if use_zk:
+        a_vec = shifted(a_mid, d1)
+        b_vec = shifted(b_mid, d2)
+        c_vec = shifted(c_mid, d3)
+        a_enc = ip(pk.s_pows, a_vec)
+        alpha_a_enc = ip(pk.alpha_s_pows, a_vec)
+        b_enc = ip(pk.s_pows, b_vec)
+        alpha_b_enc = ip(pk.alpha_s_pows, b_vec)
+        c_enc = ip(pk.s_pows, c_vec)
+        alpha_c_enc = ip(pk.alpha_s_pows, c_vec)
+    else:
+        a_enc = ip(sp_lo, a_mid)
+        alpha_a_enc = ip(asp_lo, a_mid)
+        b_enc = ip(sp_lo, b_mid)
+        alpha_b_enc = ip(asp_lo, b_mid)
+        c_enc = ip(sp_lo, c_mid)
+        alpha_c_enc = ip(asp_lo, c_mid)
+    d_enc = ip(pk.s_pows, h)
+    alpha_d_enc = ip(pk.alpha_s_pows, h)
+
+    f_enc = None
+    if len(auxiliary_input) > 0:
+        aux_batch = RingElem.stack(list(auxiliary_input))
+        f_enc = ip(pk.beta_prods, aux_batch)
+        if use_zk:
+            f_enc = f_enc + d1 * pk.beta_rv_ts
+            f_enc = f_enc + d2 * pk.beta_rw_ts
+            f_enc = f_enc + d3 * pk.beta_ry_ts
+
+    return Proof(A=a_enc, A_prime=alpha_a_enc, B=b_enc, B_prime=alpha_b_enc,
+                 C=c_enc, C_prime=alpha_c_enc, D=d_enc, D_prime=alpha_d_enc,
+                 F=f_enc)
+
+
+def verifier(
+    vk: VerificationKey,
+    primary_input: list,
+    proof: Proof,
+) -> bool:
+    """Designated verifier (`rinocchio.tcc:193-295`): decode the proof
+    elements and run the 6 checks."""
+    pk = vk.pk
+    ctx = pk.params.ring
+    enc_ctx = pk.params.enc
+    domain = pk.domain
+
+    V_mid = decode(enc_ctx, vk.sk_enc, proof.A)
+    V_mid_p = decode(enc_ctx, vk.sk_enc, proof.A_prime)
+    W_mid = decode(enc_ctx, vk.sk_enc, proof.B)
+    W_mid_p = decode(enc_ctx, vk.sk_enc, proof.B_prime)
+    Y_mid = decode(enc_ctx, vk.sk_enc, proof.C)
+    Y_mid_p = decode(enc_ctx, vk.sk_enc, proof.C_prime)
+    H = decode(enc_ctx, vk.sk_enc, proof.D)
+    H_p = decode(enc_ctx, vk.sk_enc, proof.D_prime)
+    aux_present = proof.F is not None
+    L_beta = decode(enc_ctx, vk.sk_enc, proof.F) if aux_present else None
+
+    qrp = r1cs_to_qrp_instance_map_with_evaluation(pk.compiled, vk.s, domain)
+
+    # L = beta (r_v V_mid + r_w W_mid + r_y Y_mid)
+    Lc = (V_mid * vk.r_v + W_mid * vk.r_w + Y_mid * vk.r_y) * vk.beta
+
+    # io polynomials: evaluate constraints on padded primary, interpolate,
+    # evaluate at s (rinocchio.tcc:230-254) — all NTT/closed-form here.
+    one = RingElem.one(ctx)
+    zero = RingElem.zero(ctx)
+    n_aux = pk.constraint_system.auxiliary_input_size
+    z_io = RingElem.stack([one] + list(primary_input) + [zero] * n_aux)
+    az, bz, cz = pk.compiled.eval_matrices(z_io.res, num_rows=domain.m)
+    from ..reductions.r1cs_to_qrp import _interp
+
+    v_io = eval_coeffs_at(RingElem(ctx, _interp(domain, az)), vk.s)
+    w_io = eval_coeffs_at(RingElem(ctx, _interp(domain, bz)), vk.s)
+    y_io = eval_coeffs_at(RingElem(ctx, _interp(domain, cz)), vk.s)
+
+    P = (V_mid + v_io) * (W_mid + w_io) - (Y_mid + y_io)
+
+    res = True
+    if V_mid_p != V_mid * vk.alpha:
+        res = False
+    if W_mid_p != W_mid * vk.alpha:
+        res = False
+    if Y_mid_p != Y_mid * vk.alpha:
+        res = False
+    if H_p != H * vk.alpha:
+        res = False
+    if aux_present and Lc != L_beta:
+        res = False
+    if P != H * qrp.Zt:
+        res = False
+    return res

@@ -61,7 +61,18 @@ class RootsDomain:
         else:
             pts = self.plan.eval_points_np  # [L, M]
         self.points_np = pts
-        self.points = jnp.asarray(pts)
+        self.points = pts  # numpy: constant under jit
+
+    # hashable/static so jitted kernels can close over the domain
+    def __hash__(self):
+        return hash((self.ctx, self.m, "roots"))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, RootsDomain)
+            and self.ctx == other.ctx
+            and self.m == other.m
+        )
 
     # ---- reference interface (evaluation_domain.hpp:35-111) ---------------
 

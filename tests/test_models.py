@@ -1,0 +1,123 @@
+"""Model-family circuits: satisfiability + one full prove/verify per family."""
+
+import numpy as np
+import pytest
+import jax
+
+from ringsnark_tpu.rings.context import default_context
+from ringsnark_tpu.models import (
+    OuterBGV,
+    build_toy_circuit,
+    build_plaintext_check,
+    build_incircuit_ntt,
+    build_ct_mul,
+    build_logreg_inference,
+)
+from ringsnark_tpu.encoding import EncodingContext
+from ringsnark_tpu.snark.api import SnarkParams
+from ringsnark_tpu.snark import rinocchio, groth16
+from ringsnark_tpu.ops.primes import find_ntt_primes
+
+
+def _params(N=16, L=2, L_inner=3):
+    ring = default_context(L=L, N=N, order=1 << 12)
+    n_inner = 2 * N
+    inner, below = [], 1 << 31
+    while len(inner) < L_inner:
+        c = find_ntt_primes(1, 2 * n_inner, below=below)[0]
+        below = c
+        if c not in ring.primes:
+            inner.append(c)
+    enc = EncodingContext(ring=ring, n_inner=n_inner, inner_primes=tuple(inner))
+    return SnarkParams(ring=ring, enc=enc)
+
+
+def test_outer_bgv_roundtrip():
+    ctx = default_context(L=3, N=16, order=1 << 12)
+    rng = np.random.default_rng(0)
+    fhe = OuterBGV(ctx, log_t=8, rng=rng)
+    m = [int(x) for x in rng.integers(0, 256, ctx.N)]
+    ct = fhe.encrypt(m)
+    assert fhe.decrypt(ct) == m
+    # homomorphic multiply round-trips too (mod T)
+    m2 = [3] + [0] * (ctx.N - 1)
+    ct2 = fhe.encrypt(m2)
+    prod = OuterBGV.multiply(ct, ct2)
+    want = [(3 * x) % 256 for x in m]  # negacyclic conv with constant 3
+    assert fhe.decrypt(prod) == want
+
+
+def test_toy_circuit_replicated():
+    ctx = default_context(L=2, N=1, order=1 << 12)
+    rng = np.random.default_rng(1)
+    pb = build_toy_circuit(ctx, rng, replicate=4)
+    assert pb.num_constraints() == 8
+    assert pb.num_inputs() == 20
+    assert pb.is_satisfied()
+
+
+def test_plaintext_check_circuit():
+    ctx = default_context(L=2, N=16, order=1 << 12)
+    rng = np.random.default_rng(2)
+    pb = build_plaintext_check(ctx, rng, log_t=8)
+    assert pb.num_constraints() == 9
+    assert pb.is_satisfied()
+
+
+def test_incircuit_ntt_circuit():
+    ctx = default_context(L=2, N=16, order=1 << 12)
+    rng = np.random.default_rng(3)
+    pb = build_incircuit_ntt(ctx, rng)
+    assert pb.num_constraints() == 1
+    assert pb.num_variables() == ctx.N + 1
+    assert pb.is_satisfied()
+
+
+def test_ct_mul_circuit():
+    ctx = default_context(L=2, N=16, order=1 << 12)
+    rng = np.random.default_rng(4)
+    pb = build_ct_mul(ctx, rng, log_t=8)
+    assert pb.num_constraints() == 4
+    assert pb.is_satisfied()
+
+
+def test_logreg_circuit():
+    ctx = default_context(L=2, N=16, order=1 << 12)
+    rng = np.random.default_rng(5)
+    nf = 8
+    pb = build_logreg_inference(ctx, rng, num_features=nf, log_t=8)
+    assert pb.num_constraints() == 4 * nf + 7
+    assert pb.is_satisfied()
+
+
+def test_plaintext_check_prove_verify():
+    params = _params(N=16)
+    rng = np.random.default_rng(6)
+    pb = build_plaintext_check(params.ring, rng, log_t=8)
+    kp = rinocchio.generator(
+        pb.get_constraint_system(), params, rng, jax.random.PRNGKey(200)
+    )
+    proof = rinocchio.prover(kp.pk, pb.primary_input(), pb.auxiliary_input(), rng)
+    assert rinocchio.verifier(kp.vk, pb.primary_input(), proof)
+
+
+def test_ct_mul_prove_verify_groth16():
+    params = _params(N=16)
+    rng = np.random.default_rng(7)
+    pb = build_ct_mul(params.ring, rng, log_t=8)
+    kp = groth16.generator(
+        pb.get_constraint_system(), params, rng, jax.random.PRNGKey(201)
+    )
+    proof = groth16.prover(kp.pk, pb.primary_input(), pb.auxiliary_input(), rng)
+    assert groth16.verifier(kp.vk, pb.primary_input(), proof)
+
+
+def test_logreg_prove_verify_groth16():
+    params = _params(N=16)
+    rng = np.random.default_rng(8)
+    pb = build_logreg_inference(params.ring, rng, num_features=4, log_t=8)
+    kp = groth16.generator(
+        pb.get_constraint_system(), params, rng, jax.random.PRNGKey(202)
+    )
+    proof = groth16.prover(kp.pk, pb.primary_input(), pb.auxiliary_input(), rng)
+    assert groth16.verifier(kp.vk, pb.primary_input(), proof)
