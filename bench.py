@@ -1,0 +1,114 @@
+"""Driver benchmark: north-star NTT throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "ntt_neg_8192_6limb", "value": <NTTs/s>, "unit": "ntt/s",
+   "vs_baseline": <ratio vs single-core CPU (numpy) same-algorithm baseline>}
+
+One NTT op = a full 6-limb negacyclic forward transform of one degree-8192
+polynomial (the BASELINE.md north-star kernel).  Secondary numbers go to
+stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _numpy_ntt_baseline(plan, x, iters=3):
+    """Single-core same-algorithm numpy NTT (the CPU stand-in baseline; the
+    reference's SEAL submodules are empty and cannot be built)."""
+    p = plan.p.astype(np.uint64)  # [L, 1]
+    M = plan.M
+
+    def run(x):
+        x = (x.astype(np.uint64) * plan.psi.astype(np.uint64)) % p
+        batch = x.shape[:-1]
+        for s, tw in enumerate(plan.fwd_tw):
+            d = M >> (s + 1)
+            nb = M // (2 * d)
+            xr = x.reshape(*batch, nb, 2, d)
+            a, b = xr[..., 0, :], xr[..., 1, :]
+            na = (a + b) % p[..., None, :]
+            nb_ = ((a - b) % p[..., None, :]) * tw[:, None, :] % p[..., None, :]
+            x = np.stack([na, nb_], axis=-2).reshape(*batch, M)
+        return x
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(x)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, out
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from ringsnark_tpu.ops import ntt as nttm
+    from ringsnark_tpu.ops.primes import find_ntt_primes
+
+    N = 8192
+    L = 6
+    BATCH = 32
+    primes = tuple(find_ntt_primes(L, 1 << 21))
+    plan = nttm.get_plan(primes, N, negacyclic=True)
+
+    rng = np.random.default_rng(0)
+    x_np = np.stack(
+        [
+            np.stack([rng.integers(0, q, N, dtype=np.uint64) for q in primes])
+            for _ in range(BATCH)
+        ]
+    ).astype(np.uint32)  # [BATCH, L, N]
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr, flush=True)
+
+    fwd = jax.jit(lambda v: nttm.negacyclic_ntt_rev(v, plan))
+    x = jax.device_put(jnp.asarray(x_np), dev)
+    t0 = time.perf_counter()
+    fwd(x).block_until_ready()  # compile
+    print(f"[bench] compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    ntts_per_s = BATCH / dt
+    print(
+        f"[bench] tpu: {dt*1e3:.2f} ms / batch of {BATCH} -> {ntts_per_s:.1f} ntt/s",
+        file=sys.stderr, flush=True,
+    )
+
+    # CPU single-core same-algorithm baseline on a smaller batch, scaled
+    base_batch = 4
+    base_dt, base_out = _numpy_ntt_baseline(plan, x_np[:base_batch])
+    base_ntts_per_s = base_batch / base_dt
+    print(
+        f"[bench] cpu-numpy 1-core baseline: {base_ntts_per_s:.1f} ntt/s",
+        file=sys.stderr, flush=True,
+    )
+    # cross-check correctness vs the baseline
+    assert (np.asarray(out[:base_batch]) == base_out.astype(np.uint32)).all(), (
+        "TPU NTT result mismatch vs numpy baseline"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "ntt_neg_8192_6limb",
+                "value": round(ntts_per_s, 2),
+                "unit": "ntt/s",
+                "vs_baseline": round(ntts_per_s / base_ntts_per_s, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+"""Multi-chip sharding: device meshes and sharded prover entry points.
+
+The reference has no distributed backend (OpenMP only, SURVEY §2.3); this is
+new capability.  Axes:
+
+* ``limb`` — outer RNS limbs: embarrassingly parallel (the reference's
+  one-SEAL-context-per-limb becomes a sharded array axis);
+* ``data`` — CRS/witness batch axis: inner products do local
+  multiply-accumulate and reduce with a psum inserted by GSPMD.
+"""
+
+from .mesh import make_mesh, crs_sharding, ring_sharding, replicate  # noqa: F401
+from .sharded import shard_groth16_inputs, groth16_prove_sharded  # noqa: F401

@@ -1,0 +1,91 @@
+"""Sharded prover execution: GSPMD partitioning of the single-jit cores.
+
+Sharding layout (DESIGN.md §5): CRS ciphertext batches are sharded
+[B@data, L@limb, L', N']; assignments are replicated (they are tiny compared
+to the CRS); XLA inserts the psum for the inner-product batch reductions and
+the limb axis never communicates (RNS channels are independent).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..encoding.encoding import Encoding
+from ..rings.elem import RingElem
+from ..reductions.r1cs_to_qrp import _assignment_batches
+from ..snark.pipeline import groth16_core, groth16_proof_levels
+from .mesh import crs_sharding, replicate
+
+__all__ = ["shard_groth16_inputs", "groth16_prove_sharded"]
+
+
+def shard_groth16_inputs(pk, mesh):
+    """device_put the groth16 CRS with the ('limb','data') sharding.
+
+    Batch axes are zero-padded to PAD_QUANTUM (the cores pad identically, so
+    this is a no-op inside the graph) — the 'data' axis size must divide it.
+    """
+    import numpy as _np
+    import jax.numpy as jnp
+    from ..snark.pipeline import PAD_QUANTUM, _pad_len
+
+    assert PAD_QUANTUM % mesh.shape["data"] == 0, (
+        f"data axis {mesh.shape['data']} must divide PAD_QUANTUM={PAD_QUANTUM}"
+    )
+    cs = crs_sharding(mesh)
+    rep = replicate(mesh)
+
+    def put(pair, sharded=True):
+        if pair is None:
+            return None
+        c0, c1 = pair
+        sh = cs if sharded and c0.ndim == 4 else rep
+        if sharded and c0.ndim == 4:
+            tgt = _pad_len(c0.shape[0])
+            pad = [(0, tgt - c0.shape[0])] + [(0, 0)] * (c0.ndim - 1)
+            c0 = jnp.pad(c0, pad)
+            c1 = jnp.pad(c1, pad)
+        return (jax.device_put(c0, sh), jax.device_put(c1, sh))
+
+    return {
+        "s_pows": put((pk.s_pows.c0, pk.s_pows.c1)),
+        "delta_ts": put((pk.delta_ts.c0, pk.delta_ts.c1)),
+        "delta_mid": put(
+            None if pk.delta_mid is None else (pk.delta_mid.c0, pk.delta_mid.c1)
+        ),
+        "alpha": put((pk.alpha.c0, pk.alpha.c1), sharded=False),
+        "beta": put((pk.beta.c0, pk.beta.c1), sharded=False),
+    }
+
+
+def groth16_prove_sharded(pk, primary_input, auxiliary_input, mesh):
+    """Full groth16 prover step over the mesh; returns a Proof.
+
+    Same jitted graph as the single-chip path — GSPMD partitions it from the
+    input shardings (mesh of 1 == single-chip semantics, bit-identical).
+    """
+    ctx = pk.params.ring
+    ectx = pk.params.enc
+    ums = pk.params.use_modswitch
+    crs = shard_groth16_inputs(pk, mesh)
+    full, io, mid = _assignment_batches(ctx, primary_input, auxiliary_input)
+    rep = replicate(mesh)
+    z_full = jax.device_put(full.res, rep)
+    z_io = jax.device_put(io.res, rep)
+    z_mid = jax.device_put(mid.res, rep)
+    aux_arr = (
+        jax.device_put(RingElem.stack(list(auxiliary_input)).res, rep)
+        if auxiliary_input
+        else None
+    )
+    A, B, C = groth16_core(
+        pk.compiled, crs, z_full, z_io, z_mid, aux_arr, pk.domain, ectx, ums
+    )
+    from ..snark.groth16 import Proof
+
+    la, lb, lc = groth16_proof_levels(ectx, ums)
+    return Proof(
+        A=Encoding(ectx, A[0], A[1], la),
+        B=Encoding(ectx, B[0], B[1], lb),
+        C=Encoding(ectx, C[0], C[1], lc),
+    )

@@ -152,31 +152,39 @@ def prover(
     rng: np.random.Generator | None = None,
 ) -> Proof:
     """Prove (`groth16.tcc:69-115`).  Non-ZK: d1 = d2 = d3 = 0 (hardcoded
-    `use_zk = false` in the reference, mirrored and documented)."""
+    `use_zk = false` in the reference, mirrored and documented).
+
+    Delegates to the single-jit `pipeline.groth16_core` (witness map + all
+    inner products in one compiled graph)."""
+    from ..reductions.r1cs_to_qrp import _assignment_batches
+    from .pipeline import groth16_core, groth16_proof_levels
+
     ctx = pk.params.ring
-    zero = RingElem.zero(ctx)
-    wit = r1cs_to_qrp_witness_map(
-        pk.compiled, primary_input, auxiliary_input, zero, zero, zero, pk.domain
-    )
-    M = pk.domain.m
+    ectx = pk.params.enc
     ums = pk.params.use_modswitch
-    sp_lo = pk.s_pows[:M]
-
-    def ip(enc, coeffs):
-        return inner_product(enc, coeffs, use_modswitch=ums)
-
-    # A = E(alpha) + E(A_io(s)) + E(A_mid(s)); io+mid sum to the full A
-    a_full = wit.coefficients_for_A_io + wit.coefficients_for_A_mid
-    a_enc = ip(sp_lo, a_full) + pk.alpha
-    b_full = wit.coefficients_for_B_io + wit.coefficients_for_B_mid
-    b_enc = ip(sp_lo, b_full) + pk.beta
-
-    c_enc = ip(pk.delta_ts, wit.coefficients_for_H)
-    if len(auxiliary_input) > 0:
-        aux_batch = RingElem.stack(list(auxiliary_input))
-        c_enc = c_enc + ip(pk.delta_mid, aux_batch)
-
-    return Proof(A=a_enc, B=b_enc, C=c_enc)
+    full, io, mid = _assignment_batches(ctx, primary_input, auxiliary_input)
+    crs = {
+        "s_pows": (pk.s_pows.c0, pk.s_pows.c1),
+        "delta_ts": (pk.delta_ts.c0, pk.delta_ts.c1),
+        "delta_mid": None
+        if pk.delta_mid is None
+        else (pk.delta_mid.c0, pk.delta_mid.c1),
+        "alpha": (pk.alpha.c0, pk.alpha.c1),
+        "beta": (pk.beta.c0, pk.beta.c1),
+    }
+    aux_arr = (
+        RingElem.stack(list(auxiliary_input)).res if auxiliary_input else None
+    )
+    A, B, C = groth16_core(
+        pk.compiled, crs, full.res, io.res, mid.res, aux_arr,
+        pk.domain, ectx, ums,
+    )
+    la, lb, lc = groth16_proof_levels(ectx, ums)
+    return Proof(
+        A=Encoding(ectx, A[0], A[1], la),
+        B=Encoding(ectx, B[0], B[1], lb),
+        C=Encoding(ectx, C[0], C[1], lc),
+    )
 
 
 def verifier(

@@ -203,62 +203,42 @@ def prover(
     d2 = RingElem.random_invertible_element(ctx, rng) if use_zk else zero
     d3 = RingElem.random_invertible_element(ctx, rng) if use_zk else zero
 
-    wit = r1cs_to_qrp_witness_map(
-        pk.compiled, primary_input, auxiliary_input, d1, d2, d3, pk.domain
-    )
+    # The ZK shifts d*Z are folded into the inner-product coefficient vectors
+    # (Z = X^M - 1 → [a_0 - d, a_1, ..., a_{M-1}, d]).  The reference instead
+    # multiplies the finished (noisy) E(Z(s)) by d (`rinocchio.tcc:167-174`)
+    # and leaves this fold as a TODO (`rinocchio.tcc:166`); folding keeps
+    # every ciphertext-plaintext multiply on fresh CRS encodings — essential
+    # for the 31-bit-limb noise budget and two inner products cheaper.
+    # The whole prover below is one jitted graph (pipeline.rinocchio_core).
+    from ..reductions.r1cs_to_qrp import _assignment_batches
+    from .pipeline import rinocchio_core, groth16_proof_levels
 
-    M = pk.domain.m
-    sp_lo = pk.s_pows[:M]  # E(s^0..s^{M-1})
-    asp_lo = pk.alpha_s_pows[:M]
+    ectx = pk.params.enc
     ums = pk.params.use_modswitch
-
-    def ip(enc, coeffs):
-        return inner_product(enc, coeffs, use_modswitch=ums)
-
-    a_mid = wit.coefficients_for_A_mid
-    b_mid = wit.coefficients_for_B_mid
-    c_mid = wit.coefficients_for_C_mid
-    h = wit.coefficients_for_H
-
-    # ZK shifts folded into the coefficient vectors: A_mid + d*Z has coeffs
-    # [a_0 - d, a_1, ..., a_{M-1}, d] since Z = X^M - 1.  The reference
-    # instead multiplies the finished (noisy) E(Z(s)) by d
-    # (`rinocchio.tcc:167-174`) and leaves this very fold as a TODO
-    # (`rinocchio.tcc:166`); doing it here keeps every ciphertext-plaintext
-    # multiply on fresh CRS encodings — essential for our 31-bit-limb noise
-    # budget and two inner products cheaper (no z_enc/alpha_z_enc).
-    def shifted(coeffs: RingElem, d: RingElem) -> RingElem:
-        import jax.numpy as jnp
-
-        head = (coeffs[0] - d).res[None]
-        tail = jnp.broadcast_to(d.res[None], (1, *coeffs.res.shape[1:]))
-        return RingElem(ctx, jnp.concatenate([head, coeffs.res[1:], tail], axis=0))
-
-    if use_zk:
-        a_vec = shifted(a_mid, d1)
-        b_vec = shifted(b_mid, d2)
-        c_vec = shifted(c_mid, d3)
-        a_enc = ip(pk.s_pows, a_vec)
-        alpha_a_enc = ip(pk.alpha_s_pows, a_vec)
-        b_enc = ip(pk.s_pows, b_vec)
-        alpha_b_enc = ip(pk.alpha_s_pows, b_vec)
-        c_enc = ip(pk.s_pows, c_vec)
-        alpha_c_enc = ip(pk.alpha_s_pows, c_vec)
-    else:
-        a_enc = ip(sp_lo, a_mid)
-        alpha_a_enc = ip(asp_lo, a_mid)
-        b_enc = ip(sp_lo, b_mid)
-        alpha_b_enc = ip(asp_lo, b_mid)
-        c_enc = ip(sp_lo, c_mid)
-        alpha_c_enc = ip(asp_lo, c_mid)
-    d_enc = ip(pk.s_pows, h)
-    alpha_d_enc = ip(pk.alpha_s_pows, h)
+    full, io, mid = _assignment_batches(ctx, primary_input, auxiliary_input)
+    crs = {
+        "s_pows": (pk.s_pows.c0, pk.s_pows.c1),
+        "alpha_s_pows": (pk.alpha_s_pows.c0, pk.alpha_s_pows.c1),
+        "beta_prods": None
+        if pk.beta_prods is None
+        else (pk.beta_prods.c0, pk.beta_prods.c1),
+    }
+    aux_arr = (
+        RingElem.stack(list(auxiliary_input)).res if auxiliary_input else None
+    )
+    outs, f_arrs = rinocchio_core(
+        pk.compiled, crs, full.res, io.res, mid.res, aux_arr,
+        d1.res, d2.res, d3.res, pk.domain, ectx, ums, use_zk,
+    )
+    lvl = groth16_proof_levels(ectx, ums)[0]
+    encs = [Encoding(ectx, c0, c1, lvl) for (c0, c1) in outs]
+    a_enc, alpha_a_enc, b_enc, alpha_b_enc, c_enc, alpha_c_enc, d_enc, alpha_d_enc = encs
 
     f_enc = None
-    if len(auxiliary_input) > 0:
-        aux_batch = RingElem.stack(list(auxiliary_input))
-        f_enc = ip(pk.beta_prods, aux_batch)
+    if f_arrs is not None:
+        f_enc = Encoding(ectx, f_arrs[0], f_arrs[1], lvl)
         if use_zk:
+            # F shift terms multiply single FRESH encodings (level 0)
             f_enc = f_enc + d1 * pk.beta_rv_ts
             f_enc = f_enc + d2 * pk.beta_rw_ts
             f_enc = f_enc + d3 * pk.beta_ry_ts

@@ -1,0 +1,58 @@
+"""Sharding tests on the virtual 8-device CPU mesh: the sharded prover's
+proof must verify and match the single-chip proof bit-for-bit (the SNARK is
+deterministic given the witness map — groth16 is non-ZK)."""
+
+import numpy as np
+import pytest
+import jax
+
+from ringsnark_tpu.rings.context import default_context
+from ringsnark_tpu.encoding import EncodingContext
+from ringsnark_tpu.snark.api import SnarkParams
+from ringsnark_tpu.snark import groth16
+from ringsnark_tpu.parallel import make_mesh, groth16_prove_sharded
+from ringsnark_tpu.models import build_toy_circuit
+from ringsnark_tpu.ops.primes import find_ntt_primes
+
+
+@pytest.fixture(scope="module")
+def env():
+    ring = default_context(L=2, N=8, order=1 << 12)
+    n_inner = 16
+    inner, below = [], 1 << 31
+    while len(inner) < 3:
+        c = find_ntt_primes(1, 2 * n_inner, below=below)[0]
+        below = c
+        if c not in ring.primes:
+            inner.append(c)
+    enc = EncodingContext(ring=ring, n_inner=n_inner, inner_primes=tuple(inner))
+    params = SnarkParams(ring=ring, enc=enc)
+    rng = np.random.default_rng(31)
+    pb = build_toy_circuit(ring, rng, replicate=2)
+    assert pb.is_satisfied()
+    kp = groth16.generator(
+        pb.get_constraint_system(), params, rng, jax.random.PRNGKey(300)
+    )
+    return params, pb, kp
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8, limb=2)
+    assert mesh.shape == {"limb": 2, "data": 4}
+    mesh1 = make_mesh(1)
+    assert mesh1.shape == {"limb": 1, "data": 1}
+
+
+@pytest.mark.parametrize("n,limb", [(1, 1), (4, 1), (8, 2)])
+def test_sharded_prover_matches_single_chip(env, n, limb):
+    params, pb, kp = env
+    proof_single = groth16.prover(kp.pk, pb.primary_input(), pb.auxiliary_input())
+    mesh = make_mesh(n, limb=limb)
+    proof_sharded = groth16_prove_sharded(
+        kp.pk, pb.primary_input(), pb.auxiliary_input(), mesh
+    )
+    # bit-exact across mesh sizes
+    for name in ("A", "B", "C"):
+        e1, e2 = getattr(proof_single, name), getattr(proof_sharded, name)
+        assert e1 == e2, f"proof element {name} differs at mesh {n}x{limb}"
+    assert groth16.verifier(kp.vk, pb.primary_input(), proof_sharded)
