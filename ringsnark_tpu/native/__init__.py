@@ -1,0 +1,116 @@
+"""ctypes bindings for the native C++ oracle/baseline library.
+
+Builds `native/libringsnark_native.so` on demand (make); all entry points
+degrade gracefully (`available() == False`) when no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "mulmod",
+    "powmod",
+    "invmod",
+    "negacyclic_ntt",
+    "negacyclic_intt",
+    "cyclic_ntt",
+    "cyclic_intt",
+    "ip_accumulate",
+]
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libringsnark_native.so")
+
+
+@lru_cache(maxsize=1)
+def _lib():
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    u32, u64 = ctypes.c_uint32, ctypes.c_uint64
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    lib.rn_mulmod.restype = u32
+    lib.rn_mulmod.argtypes = [u32, u32, u32]
+    lib.rn_powmod.restype = u32
+    lib.rn_powmod.argtypes = [u32, u64, u32]
+    lib.rn_invmod.restype = u32
+    lib.rn_invmod.argtypes = [u32, u32]
+    lib.rn_negacyclic_ntt.argtypes = [pu32, u64, u32, u32, u32, u32]
+    lib.rn_negacyclic_intt.argtypes = [pu32, u64, u32, u32, u32, u32]
+    lib.rn_cyclic_ntt.argtypes = [pu32, u64, u32, u32, u32]
+    lib.rn_cyclic_intt.argtypes = [pu32, u64, u32, u32, u32]
+    lib.rn_ip_accumulate.argtypes = [pu32, pu32, pu32, u64, u64, u32]
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def mulmod(a: int, b: int, p: int) -> int:
+    return int(_lib().rn_mulmod(a, b, p))
+
+
+def powmod(a: int, e: int, p: int) -> int:
+    return int(_lib().rn_powmod(a, e, p))
+
+
+def invmod(a: int, p: int) -> int:
+    return int(_lib().rn_invmod(a, p))
+
+
+def _batched(fn, data: np.ndarray, *args) -> np.ndarray:
+    out = np.ascontiguousarray(data, dtype=np.uint32).copy()
+    batch = out.size // out.shape[-1]
+    fn(_ptr(out), batch, out.shape[-1], *args)
+    return out
+
+
+def negacyclic_ntt(data, p, w, psi):
+    """In the same DIF/bit-reversed-out convention as ops/ntt.py."""
+    return _batched(_lib().rn_negacyclic_ntt, data, p, w, psi)
+
+
+def negacyclic_intt(data, p, w, psi):
+    return _batched(_lib().rn_negacyclic_intt, data, p, w, psi)
+
+
+def cyclic_ntt(data, p, w):
+    return _batched(_lib().rn_cyclic_ntt, data, p, w)
+
+
+def cyclic_intt(data, p, w):
+    return _batched(_lib().rn_cyclic_intt, data, p, w)
+
+
+def ip_accumulate(ct: np.ndarray, pt: np.ndarray, p: int) -> np.ndarray:
+    """sum_b ct[b] * pt[b] elementwise over trailing dims, one limb."""
+    ct = np.ascontiguousarray(ct, dtype=np.uint32)
+    pt = np.ascontiguousarray(pt, dtype=np.uint32)
+    assert ct.shape == pt.shape
+    batch, n = ct.shape[0], ct.size // ct.shape[0]
+    acc = np.zeros(n, dtype=np.uint32)
+    _lib().rn_ip_accumulate(_ptr(ct), _ptr(pt), _ptr(acc), batch, n, p)
+    return acc.reshape(ct.shape[1:])
