@@ -30,8 +30,9 @@ def _numpy_ntt_baseline(plan, x, iters=3):
             nb = M // (2 * d)
             xr = x.reshape(*batch, nb, 2, d)
             a, b = xr[..., 0, :], xr[..., 1, :]
-            na = (a + b) % p[..., None, :]
-            nb_ = ((a - b) % p[..., None, :]) * tw[:, None, :] % p[..., None, :]
+            pb = p[..., None, :]
+            na = (a + b) % pb
+            nb_ = ((a + pb - b) % pb) * tw[:, None, :] % pb
             x = np.stack([na, nb_], axis=-2).reshape(*batch, M)
         return x
 
@@ -72,11 +73,12 @@ def main():
     fwd(x).block_until_ready()  # compile
     print(f"[bench] compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
+    # timing: sync every iteration (the axon relay pipelines dispatches)
     iters = 20
+    fwd(x).block_until_ready()  # warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(x)
-    out.block_until_ready()
+        out = fwd(x).block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     ntts_per_s = BATCH / dt
     print(
@@ -84,17 +86,31 @@ def main():
         file=sys.stderr, flush=True,
     )
 
-    # CPU single-core same-algorithm baseline on a smaller batch, scaled
+    # CPU single-core baseline: native C++ (the SEAL-equivalent scalar code),
+    # falling back to same-algorithm numpy.
     base_batch = 4
-    base_dt, base_out = _numpy_ntt_baseline(plan, x_np[:base_batch])
+    from ringsnark_tpu import native
+
+    if native.available():
+        base_out = np.empty((base_batch, L, N), dtype=np.uint32)
+        t0 = time.perf_counter()
+        for l, p in enumerate(primes):
+            base_out[:, l, :] = native.negacyclic_ntt(
+                x_np[:base_batch, l, :], p, plan.w_np[l], int(plan.psi[l, 1])
+            )
+        base_dt = time.perf_counter() - t0
+        base_kind = "native-cpp"
+    else:
+        base_dt, base_out = _numpy_ntt_baseline(plan, x_np[:base_batch])
+        base_kind = "numpy"
     base_ntts_per_s = base_batch / base_dt
     print(
-        f"[bench] cpu-numpy 1-core baseline: {base_ntts_per_s:.1f} ntt/s",
+        f"[bench] cpu 1-core baseline ({base_kind}): {base_ntts_per_s:.1f} ntt/s",
         file=sys.stderr, flush=True,
     )
     # cross-check correctness vs the baseline
     assert (np.asarray(out[:base_batch]) == base_out.astype(np.uint32)).all(), (
-        "TPU NTT result mismatch vs numpy baseline"
+        "TPU NTT result mismatch vs CPU baseline"
     )
 
     print(

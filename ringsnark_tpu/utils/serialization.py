@@ -1,0 +1,150 @@
+"""Serialization for keys, proofs, and contexts.
+
+The reference declares pk/vk/proof streaming but never implements it
+(`r1cs_ppzksnark.hpp:43-47, 69-74`; `variable.tcc:391-414` throws
+"Not Implemented") — here it is first-class: CRS caching matters at 2^18
+constraints (SURVEY §5).  Format: one .npz per object with a JSON header.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..encoding.context import EncodingContext, SecretKey
+from ..encoding.encoding import Encoding
+from ..rings.context import RingContext
+from ..rings.elem import RingElem
+
+__all__ = [
+    "save_proof",
+    "load_proof",
+    "save_groth16_pk",
+    "load_groth16_pk",
+    "save_secret_key",
+    "load_secret_key",
+    "context_to_json",
+    "context_from_json",
+]
+
+
+def context_to_json(ectx: EncodingContext) -> str:
+    return json.dumps(
+        {
+            "ring_primes": list(ectx.ring.primes),
+            "ring_N": ectx.ring.N,
+            "n_inner": ectx.n_inner,
+            "inner_primes": list(ectx.inner_primes),
+            "error_stddev": ectx.error_stddev,
+        }
+    )
+
+
+def context_from_json(s: str) -> EncodingContext:
+    o = json.loads(s)
+    ring = RingContext(primes=tuple(o["ring_primes"]), N=o["ring_N"])
+    return EncodingContext(
+        ring=ring,
+        n_inner=o["n_inner"],
+        inner_primes=tuple(o["inner_primes"]),
+        error_stddev=o["error_stddev"],
+    )
+
+
+def _enc_arrays(prefix: str, e: Encoding | None, store: dict, meta: dict):
+    if e is None:
+        meta[prefix] = None
+        return
+    store[f"{prefix}_c0"] = np.asarray(e.c0)
+    store[f"{prefix}_c1"] = np.asarray(e.c1)
+    meta[prefix] = {"level": e.level}
+
+
+def _enc_load(prefix: str, data, meta: dict, ectx: EncodingContext):
+    if meta[prefix] is None:
+        return None
+    return Encoding(
+        ectx,
+        jnp.asarray(data[f"{prefix}_c0"]),
+        jnp.asarray(data[f"{prefix}_c1"]),
+        meta[prefix]["level"],
+    )
+
+
+def save_proof(path: str, proof, ectx: EncodingContext):
+    """Works for both rinocchio.Proof and groth16.Proof (duck-typed fields)."""
+    store, meta = {}, {"ctx": context_to_json(ectx), "fields": []}
+    for name in ("A", "A_prime", "B", "B_prime", "C", "C_prime", "D", "D_prime", "F"):
+        if hasattr(proof, name):
+            meta["fields"].append(name)
+            _enc_arrays(name, getattr(proof, name), store, meta)
+    np.savez_compressed(path, __meta__=json.dumps(meta), **store)
+
+
+def load_proof(path: str, proof_cls, ectx: EncodingContext | None = None):
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    ectx = ectx or context_from_json(meta["ctx"])
+    kwargs = {n: _enc_load(n, data, meta, ectx) for n in meta["fields"]}
+    return proof_cls(**kwargs)
+
+
+def save_secret_key(path: str, sk: SecretKey):
+    np.savez_compressed(
+        path,
+        __meta__=context_to_json(sk.ctx),
+        s_ntt=np.asarray(sk.s_ntt),
+        s_coeffs=np.asarray(sk.s_coeffs),
+    )
+
+
+def load_secret_key(path: str) -> SecretKey:
+    data = np.load(path, allow_pickle=False)
+    ectx = context_from_json(str(data["__meta__"]))
+    return SecretKey(
+        ctx=ectx,
+        s_ntt=jnp.asarray(data["s_ntt"]),
+        s_coeffs=data["s_coeffs"],
+    )
+
+
+def save_groth16_pk(path: str, pk, cs_path: str):
+    """CRS to npz (+ the R1CS to its own JSON file)."""
+    pk.constraint_system.save(cs_path)
+    store, meta = {}, {
+        "ctx": context_to_json(pk.params.enc),
+        "use_modswitch": pk.params.use_modswitch,
+        "cs_path": cs_path,
+    }
+    for name in ("alpha", "beta", "s_pows", "gamma_io", "delta_mid", "delta_ts"):
+        _enc_arrays(name, getattr(pk, name), store, meta)
+    np.savez_compressed(path, __meta__=json.dumps(meta), **store)
+
+
+def load_groth16_pk(path: str):
+    from ..relations.r1cs import R1CSConstraintSystem
+    from ..snark.api import SnarkParams
+    from ..snark.groth16 import ProvingKey
+    from ..utils.domain import RootsDomain
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    ectx = context_from_json(meta["ctx"])
+    cs = R1CSConstraintSystem.load(meta["cs_path"], ectx.ring)
+    params = SnarkParams(
+        ring=ectx.ring, enc=ectx, use_modswitch=meta["use_modswitch"]
+    )
+    return ProvingKey(
+        constraint_system=cs,
+        compiled=cs.compile(ectx.ring),
+        domain=RootsDomain(ectx.ring, max(cs.num_constraints(), 1)),
+        params=params,
+        alpha=_enc_load("alpha", data, meta, ectx),
+        beta=_enc_load("beta", data, meta, ectx),
+        s_pows=_enc_load("s_pows", data, meta, ectx),
+        gamma_io=_enc_load("gamma_io", data, meta, ectx),
+        delta_mid=_enc_load("delta_mid", data, meta, ectx),
+        delta_ts=_enc_load("delta_ts", data, meta, ectx),
+    )
