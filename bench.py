@@ -70,16 +70,30 @@ def main():
     fwd = jax.jit(lambda v: nttm.negacyclic_ntt_rev(v, plan))
     x = jax.device_put(jnp.asarray(x_np), dev)
     t0 = time.perf_counter()
-    fwd(x).block_until_ready()  # compile
+    out = fwd(x).block_until_ready()  # compile
     print(f"[bench] compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    # timing: sync every iteration (the axon relay pipelines dispatches)
-    iters = 20
-    fwd(x).block_until_ready()  # warm
+    # timing: chain REP dependent applications inside one jit — per-call
+    # relay/dispatch latency otherwise dominates on this tunnel.
+    REP = 20
+
+    @jax.jit
+    def chain(v):
+        for _ in range(REP):
+            v = nttm.negacyclic_ntt_rev(v, plan)
+        return v
+
+    chained = chain(x).block_until_ready()  # compile + warm
+    # verify the chain really computes REP sequential NTTs
+    check = x
+    for _ in range(REP):
+        check = fwd(check)
+    assert (np.asarray(chained) == np.asarray(check)).all(), "chain mismatch"
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(x).block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    for _ in range(3):
+        chained = chain(x)
+    chained.block_until_ready()
+    dt = (time.perf_counter() - t0) / (3 * REP)
     ntts_per_s = BATCH / dt
     print(
         f"[bench] tpu: {dt*1e3:.2f} ms / batch of {BATCH} -> {ntts_per_s:.1f} ntt/s",

@@ -112,6 +112,19 @@ def test_ct_mul_prove_verify_groth16():
     assert groth16.verifier(kp.vk, pb.primary_input(), proof)
 
 
+def test_incircuit_ntt_prove_verify_rinocchio():
+    """All-public circuit over the poly ring: non-ZK Rinocchio, F is None."""
+    params = _params(N=16)
+    rng = np.random.default_rng(9)
+    pb = build_incircuit_ntt(params.ring, rng)
+    kp = rinocchio.generator(
+        pb.get_constraint_system(), params, rng, jax.random.PRNGKey(203)
+    )
+    proof = rinocchio.prover(kp.pk, pb.primary_input(), pb.auxiliary_input(), rng)
+    assert proof.F is None
+    assert rinocchio.verifier(kp.vk, pb.primary_input(), proof)
+
+
 def test_logreg_prove_verify_groth16():
     params = _params(N=16)
     rng = np.random.default_rng(8)

@@ -1,0 +1,90 @@
+"""Pallas NTT kernel: bit-exact vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ringsnark_tpu.ops import ntt as nttm
+from ringsnark_tpu.ops import primes as pr
+from ringsnark_tpu.ops import pallas_ntt as pntt
+
+
+def _pallas_interpret(x, tables, tb):
+    """Run the kernel through the Pallas interpreter (no TPU needed)."""
+    from functools import partial
+    import jax.experimental.pallas as pl
+
+    B, L, M = x.shape
+    n_small = pntt.LANE.bit_length() - 1
+    kernel = pntt._ntt_kernel(M, tb)
+
+    def row(i, l):
+        return (l, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // tb, L),
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda i, l: (0, 0)),
+            pl.BlockSpec((tb, 1, M), lambda i, l: (i, l, 0)),
+            pl.BlockSpec((1, M), row),
+            pl.BlockSpec((1, M), row),
+            pl.BlockSpec((1, M), row),
+            pl.BlockSpec((1, M), row),
+            pl.BlockSpec((1, n_small, M), lambda i, l: (l, 0, 0)),
+            pl.BlockSpec((1, n_small, M), lambda i, l: (l, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, 1, M), lambda i, l: (i, l, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, M), jnp.uint32),
+        interpret=True,
+    )(
+        jnp.asarray(tables.p_arr[:, None]), x,
+        jnp.asarray(tables.psi), jnp.asarray(tables.psi_sh),
+        jnp.asarray(tables.flat_tw), jnp.asarray(tables.flat_tw_sh),
+        jnp.asarray(tables.pos_tw), jnp.asarray(tables.pos_tw_sh),
+    )
+
+
+def test_mulhi32_exact():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**32, 1000, dtype=np.uint64)
+    b = rng.integers(0, 2**32, 1000, dtype=np.uint64)
+    got = np.asarray(
+        pntt._mulhi32(jnp.asarray(a.astype(np.uint32)), jnp.asarray(b.astype(np.uint32)))
+    )
+    want = ((a * b) >> 32).astype(np.uint32)
+    assert (got == want).all()
+
+
+def test_shoup_mul_exact():
+    p = pr.find_ntt_primes(1, 1 << 12)[0]
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, p, 500, dtype=np.uint64).astype(np.uint32)
+    w = int(rng.integers(1, p))
+    w_sh = (w << 32) // p
+    got = np.asarray(
+        pntt._shoup_mul(
+            jnp.asarray(a), jnp.uint32(w), jnp.uint32(w_sh), jnp.uint32(p)
+        )
+    )
+    want = (a.astype(np.uint64) * w % p).astype(np.uint32)
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("M", [256, 1024])
+def test_pallas_ntt_matches_xla(M):
+    ps = tuple(pr.find_ntt_primes(2, 1 << 12))
+    plan = nttm.get_plan(ps, M, negacyclic=True)
+    tables = pntt.get_pallas_tables(ps, M)
+    rng = np.random.default_rng(2)
+    B, tb = 4, 2
+    x = np.stack(
+        [
+            np.stack([rng.integers(0, q, M, dtype=np.uint64) for q in ps])
+            for _ in range(B)
+        ]
+    ).astype(np.uint32)
+    want = np.asarray(nttm.negacyclic_ntt_rev(jnp.asarray(x), plan))
+    got = np.asarray(_pallas_interpret(jnp.asarray(x), tables, tb))
+    assert (got == want).all()
