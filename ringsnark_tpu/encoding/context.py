@@ -69,6 +69,11 @@ class EncodingContext:
     n_inner: int  # N' — inner polynomial degree
     inner_primes: tuple[int, ...]  # Q_j — ciphertext modulus chain
     error_stddev: float = 3.2
+    # modswitch floor: never drop below this many remaining limbs.  With
+    # ~31-bit limbs and a ~31-bit plain modulus the minimum is 2; large
+    # inner products need more headroom for the summed noise — see
+    # encoding/noise.plan_inner_chain.
+    floor_limbs: int = 2
 
     def __post_init__(self):
         assert self.n_inner >= self.ring.N

@@ -165,9 +165,9 @@ def inner_product(
     ctx = a.ctx
     B = len(a)
     assert b.res.shape[0] == B
-    # With 31-bit limbs and a 31-bit plain modulus, at least 2 limbs must
-    # remain for any noise headroom (Q/t ≈ 2^31); the deepest usable level:
-    max_level = max(ctx.L_inner - 2, 0)
+    # With 31-bit limbs and a 31-bit plain modulus, at least `floor_limbs`
+    # (>= 2) limbs must remain for noise headroom; the deepest usable level:
+    max_level = max(ctx.L_inner - ctx.floor_limbs, 0)
     if not use_modswitch or max_level == 0:
         return (a * b).sum_batch()
 

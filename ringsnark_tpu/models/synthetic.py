@@ -1,0 +1,74 @@
+"""Synthetic large-scale R1CS instances built directly as arrays.
+
+The protoboard object layer is fine up to ~2^12 constraints; benchmark-scale
+instances (2^14..2^18, BASELINE configs 3-5) construct the COO matrices and
+assignment batch directly in numpy, bypassing per-term Python objects.
+
+Circuit: independent multiplication gates x_{3i} * x_{3i+1} = x_{3i+2}
+(one constraint each), first `num_public` gate outputs public.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..relations.r1cs import CompiledR1CS
+from ..rings.context import RingContext
+from ..rings.elem import RingElem
+from ..ops.modops import mul_mod
+
+__all__ = ["build_synthetic_mul_chain"]
+
+
+def build_synthetic_mul_chain(
+    ctx: RingContext,
+    num_constraints: int,
+    rng: np.random.Generator,
+    num_public_gates: int = 1,
+):
+    """Returns (compiled_r1cs, primary RingElem batch, auxiliary RingElem batch).
+
+    Variables (1-based): gate i uses a_i = x_{3i+1}, b_i = x_{3i+2},
+    c_i = x_{3i+3}.  Primary variables must be an index prefix, so public
+    gates come first and all their wires are public.
+    """
+    m = num_constraints
+    nv = 3 * m
+    rows = np.arange(m, dtype=np.int32)
+    cols_a = (3 * rows + 1).astype(np.int32)
+    cols_b = (3 * rows + 2).astype(np.int32)
+    cols_c = (3 * rows + 3).astype(np.int32)
+    ones = jnp.ones((m, ctx.L, 1), dtype=jnp.uint32)
+
+    # assignment: random a, b; c = a*b  (slot-form arrays [m, L, n])
+    n = ctx.N
+    a_vals = np.stack(
+        [rng.integers(0, p, (m, n), dtype=np.uint64) for p in ctx.primes], axis=1
+    ).astype(np.uint32)
+    b_vals = np.stack(
+        [rng.integers(0, p, (m, n), dtype=np.uint64) for p in ctx.primes], axis=1
+    ).astype(np.uint32)
+    c_vals = np.asarray(
+        mul_mod(jnp.asarray(a_vals), jnp.asarray(b_vals), ctx.p, ctx.mu, ctx.pbits)
+    )
+
+    # interleave into the variable order x_1..x_{3m}
+    assign = np.empty((nv, ctx.L, n), dtype=np.uint32)
+    assign[0::3] = a_vals
+    assign[1::3] = b_vals
+    assign[2::3] = c_vals
+
+    primary_size = 3 * num_public_gates
+    comp = CompiledR1CS(
+        ctx=ctx,
+        num_constraints=m,
+        num_variables=nv,
+        primary_input_size=primary_size,
+        rows=(jnp.asarray(rows), jnp.asarray(rows), jnp.asarray(rows)),
+        cols=(jnp.asarray(cols_a), jnp.asarray(cols_b), jnp.asarray(cols_c)),
+        coeffs=(ones, ones, ones),
+    )
+    primary = RingElem(ctx, jnp.asarray(assign[:primary_size]))
+    auxiliary = RingElem(ctx, jnp.asarray(assign[primary_size:]))
+    return comp, primary, auxiliary

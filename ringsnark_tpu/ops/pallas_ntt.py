@@ -156,10 +156,10 @@ def _ntt_kernel(M: int, TB: int):
 
     def kernel(p_ref, x_ref, psi_ref, psi_sh_ref, ftw_ref, ftw_sh_ref,
                ptw_ref, ptw_sh_ref, out_ref):
-        p = p_ref[pl.program_id(1), 0]
-        x = x_ref[:, 0, :]  # (TB, M)
+        p = p_ref[pl.program_id(0), 0]
+        x = x_ref[0]  # (TB, M)
         # psi twist
-        x = _shoup_mul(x, psi_ref[0], psi_sh_ref[0], p)
+        x = _shoup_mul(x, psi_ref[0, 0], psi_sh_ref[0, 0], p)
 
         # big stages: lane-preserving reshapes
         off = 0
@@ -168,8 +168,8 @@ def _ntt_kernel(M: int, TB: int):
             nb = M // (2 * d)
             xr = x.reshape(TB, nb, 2, d)
             a_, b_ = xr[:, :, 0, :], xr[:, :, 1, :]
-            tw = ftw_ref[0, off : off + d]
-            tw_sh = ftw_sh_ref[0, off : off + d]
+            tw = ftw_ref[0, 0, off : off + d]
+            tw_sh = ftw_sh_ref[0, 0, off : off + d]
             na = _addmod(a_, b_, p)
             nb_ = _shoup_mul(_submod(a_, b_, p), tw, tw_sh, p)
             x = jnp.stack([na, nb_], axis=2).reshape(TB, M)
@@ -180,59 +180,66 @@ def _ntt_kernel(M: int, TB: int):
         for s in range(n_small):
             d = LANE >> (s + 1)
             is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
-            partner_fwd = pltpu.roll(x, M - d, 1)  # x[k+d] at k (roll needs >=0)
-            partner_bwd = pltpu.roll(x, d, 1)  # x[k-d] at k
+            # shifts as i32 scalars (x64 Python ints lower to an i64
+            # dynamic_rotate operand Mosaic rejects)
+            partner_fwd = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
+            partner_bwd = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
             na = _addmod(x, partner_fwd, p)
             sub = _submod(partner_bwd, x, p)
             nb_ = _shoup_mul(sub, ptw_ref[0, s, :], ptw_sh_ref[0, s, :], p)
             x = jnp.where(is_a, na, nb_)
 
-        out_ref[:, 0, :] = x
+        out_ref[0] = x
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("tables", "tb"))
-def negacyclic_ntt_rev_pallas(x, tables: PallasNTTTables, tb: int = 8):
+@partial(jax.jit, static_argnames=("tables", "tb", "interpret"))
+def negacyclic_ntt_rev_pallas(x, tables: PallasNTTTables, tb: int = 8, interpret: bool = False):
     """x: uint32[B, L, M] -> negacyclic NTT (bit-reversed out), per limb.
 
-    Grid: (B/tb, L); each program transforms a (tb, M) tile fully in VMEM.
+    Grid: (L, B/tb); data is transposed to [L, B, M] so every block keeps
+    the (sublane, lane) = (tb, M) tile shape Mosaic requires; per-limb
+    tables are [L, 1, M] for the same reason.
     """
     B, L, M = x.shape
     assert L == tables.L and M == tables.M
-    assert B % tb == 0, f"batch {B} not divisible by tile {tb}"
+    assert B % tb == 0 and tb % 8 == 0, f"batch tile {tb} must be 8-aligned"
     n_small = LANE.bit_length() - 1
 
     kernel = _ntt_kernel(M, tb)
-    grid = (B // tb, L)
+    grid = (L, B // tb)
 
-    def row(i, l):
-        return (l, 0)
+    def limb_row(l, i):
+        return (l, 0, 0)
 
-    return pl.pallas_call(
+    xt = jnp.transpose(x, (1, 0, 2))  # [L, B, M]
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, 1), lambda i, l: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tb, 1, M), lambda i, l: (i, l, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_small, M), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_small, M), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda l, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tb, M), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), limb_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), limb_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), limb_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), limb_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_small, M), limb_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_small, M), limb_row, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tb, 1, M), lambda i, l: (i, l, 0), memory_space=pltpu.VMEM
+            (1, tb, M), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, L, M), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, B, M), jnp.uint32),
+        interpret=interpret,
     )(
         jnp.asarray(tables.p_arr[:, None]),
-        x,
-        jnp.asarray(tables.psi),
-        jnp.asarray(tables.psi_sh),
-        jnp.asarray(tables.flat_tw),
-        jnp.asarray(tables.flat_tw_sh),
+        xt,
+        jnp.asarray(tables.psi[:, None, :]),
+        jnp.asarray(tables.psi_sh[:, None, :]),
+        jnp.asarray(tables.flat_tw[:, None, :]),
+        jnp.asarray(tables.flat_tw_sh[:, None, :]),
         jnp.asarray(tables.pos_tw),
         jnp.asarray(tables.pos_tw_sh),
     )
+    return jnp.transpose(out, (1, 0, 2))

@@ -122,19 +122,42 @@ def _instance_eval_kernel(comp, t_res, domain):
 # ---------------------------------------------------------------------------
 
 
-def _assignment_batches(ctx, primary: list, auxiliary: list):
+def _assignment_batches(ctx, primary, auxiliary):
     """(full, io, mid) assignment batches, each [1+nv, L, n].
 
     io  = [1,  primary, 0...];  mid = [0, 0..., auxiliary]  (constant counted
-    once, on the io side — see module docstring).
+    once, on the io side — see module docstring).  Inputs are lists of
+    RingElem (frontend path) or RingElem batches (array path for
+    benchmark-scale instances).
     """
+    if isinstance(primary, RingElem) or isinstance(auxiliary, RingElem):
+        p_res = primary.res if isinstance(primary, RingElem) else (
+            RingElem.stack(list(primary)).res if primary
+            else jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)
+        )
+        a_res = auxiliary.res if isinstance(auxiliary, RingElem) else (
+            RingElem.stack(list(auxiliary)).res if auxiliary
+            else jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)
+        )
+        n = max(p_res.shape[-1], a_res.shape[-1], 1)
+        p_res = jnp.broadcast_to(p_res, (*p_res.shape[:-1], n))
+        a_res = jnp.broadcast_to(a_res, (*a_res.shape[:-1], n))
+        one = jnp.broadcast_to(
+            RingElem.one(ctx).res, (1, ctx.L, n)
+        ).astype(jnp.uint32)
+        zs_p = jnp.zeros_like(p_res)
+        zs_a = jnp.zeros_like(a_res)
+        z1 = jnp.zeros_like(one)
+        full = RingElem(ctx, jnp.concatenate([one, p_res, a_res], axis=0))
+        io = RingElem(ctx, jnp.concatenate([one, p_res, zs_a], axis=0))
+        mid = RingElem(ctx, jnp.concatenate([z1, zs_p, a_res], axis=0))
+        return full, io, mid
     one = RingElem.one(ctx)
     zero = RingElem.zero(ctx)
     np_, na = len(primary), len(auxiliary)
     full = RingElem.stack([one] + list(primary) + list(auxiliary))
     io = RingElem.stack([one] + list(primary) + [zero] * na)
     mid = RingElem.stack([zero] * (1 + np_) + list(auxiliary))
-    n = max(full.res.shape[-1], 1)
     return full, io, mid
 
 

@@ -90,10 +90,23 @@ def generator(
     rng: np.random.Generator,
     key,
 ) -> KeyPair:
-    """Trusted setup (`groth16.tcc:5-67`)."""
+    """Trusted setup (`groth16.tcc:5-67`).
+
+    `cs` may be an R1CSConstraintSystem (frontend path) or a CompiledR1CS
+    (array path for benchmark-scale synthetic instances).
+    """
     ctx = params.ring
-    domain = RootsDomain(ctx, max(cs.num_constraints(), 1))
-    comp = cs.compile(ctx)
+    if isinstance(cs, CompiledR1CS):
+        comp, cs_obj = cs, None
+        n_constraints = comp.num_constraints
+        primary_size = comp.primary_input_size
+        n_aux = comp.num_variables - primary_size
+    else:
+        comp, cs_obj = cs.compile(ctx), cs
+        n_constraints = cs.num_constraints()
+        primary_size = cs.primary_input_size
+        n_aux = cs.auxiliary_input_size
+    domain = RootsDomain(ctx, max(n_constraints, 1))
     s = RingElem.random_exceptional_element(ctx, rng, domain)
     qrp = r1cs_to_qrp_instance_map_with_evaluation(comp, s, domain)
 
@@ -118,9 +131,8 @@ def generator(
         + ring_batch_scale(qrp.Bt, alpha)
         + qrp.Ct
     )  # [nv+1, L, nc]
-    n_io = cs.primary_input_size + 1
+    n_io = primary_size + 1
     gamma_io_ring = ring_batch_scale(RingElem(ctx, combo.res[:n_io]), gamma_inv)
-    n_aux = cs.auxiliary_input_size
 
     keys = jax.random.split(key, 6)
     alpha_enc = encode(params.enc, sk_enc, RingElem.stack([alpha]), keys[0])[0]
@@ -136,7 +148,7 @@ def generator(
     delta_ts = encode(params.enc, sk_enc, delta_ts_ring, keys[5])
 
     pk = ProvingKey(
-        constraint_system=cs, compiled=comp, domain=domain, params=params,
+        constraint_system=cs_obj, compiled=comp, domain=domain, params=params,
         alpha=alpha_enc, beta=beta_enc, s_pows=s_pows, gamma_io=gamma_io,
         delta_mid=delta_mid, delta_ts=delta_ts, pk_enc=pk_enc,
     )
@@ -172,9 +184,14 @@ def prover(
         "alpha": (pk.alpha.c0, pk.alpha.c1),
         "beta": (pk.beta.c0, pk.beta.c1),
     }
-    aux_arr = (
-        RingElem.stack(list(auxiliary_input)).res if auxiliary_input else None
-    )
+    if isinstance(auxiliary_input, RingElem):
+        aux_arr = (
+            auxiliary_input.res if auxiliary_input.res.shape[0] > 0 else None
+        )
+    else:
+        aux_arr = (
+            RingElem.stack(list(auxiliary_input)).res if auxiliary_input else None
+        )
     A, B, C = groth16_core(
         pk.compiled, crs, full.res, io.res, mid.res, aux_arr,
         pk.domain, ectx, ums,
@@ -187,9 +204,28 @@ def prover(
     )
 
 
+def _padded_primary_with_one(pk, primary_input) -> RingElem:
+    """[1, primary..., 0...] assignment column (zeros for aux wires)."""
+    import jax.numpy as jnp
+
+    ctx = pk.params.ring
+    n_aux = pk.compiled.num_variables - pk.compiled.primary_input_size
+    if isinstance(primary_input, RingElem):
+        p_res = primary_input.res
+        n = max(p_res.shape[-1], 1)
+        one = jnp.broadcast_to(RingElem.one(ctx).res, (1, ctx.L, n)).astype(
+            jnp.uint32
+        )
+        zeros = jnp.zeros((n_aux, ctx.L, n), dtype=jnp.uint32)
+        return RingElem(ctx, jnp.concatenate([one, p_res, zeros], axis=0))
+    one = RingElem.one(ctx)
+    zero = RingElem.zero(ctx)
+    return RingElem.stack([one] + list(primary_input) + [zero] * n_aux)
+
+
 def verifier(
     vk: VerificationKey,
-    primary_input: list,
+    primary_input,
     proof: Proof,
 ) -> bool:
     """Verify (`groth16.tcc:117-170`): A*B = alpha*beta + gamma*f_io + delta*C."""
@@ -204,10 +240,7 @@ def verifier(
 
     qrp = r1cs_to_qrp_instance_map_with_evaluation(pk.compiled, vk.s, domain)
 
-    one = RingElem.one(ctx)
-    zero = RingElem.zero(ctx)
-    n_aux = pk.constraint_system.auxiliary_input_size
-    z_io = RingElem.stack([one] + list(primary_input) + [zero] * n_aux)
+    z_io = _padded_primary_with_one(pk, primary_input)
     az, bz, cz = pk.compiled.eval_matrices(z_io.res, num_rows=domain.m)
     v_io = eval_coeffs_at(RingElem(ctx, _interp(domain, az)), vk.s)
     w_io = eval_coeffs_at(RingElem(ctx, _interp(domain, bz)), vk.s)

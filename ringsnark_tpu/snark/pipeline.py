@@ -47,7 +47,7 @@ def _pad_batch(arr, target: int):
 
 def _ip_levels(ectx: EncodingContext, B: int, use_modswitch: bool) -> int:
     """Static result level of inner_product for a batch of size B."""
-    max_level = max(ectx.L_inner - 2, 0)
+    max_level = max(ectx.L_inner - ectx.floor_limbs, 0)
     if not use_modswitch or max_level == 0:
         return 0
     return max_level

@@ -38,6 +38,7 @@ def context_to_json(ectx: EncodingContext) -> str:
             "n_inner": ectx.n_inner,
             "inner_primes": list(ectx.inner_primes),
             "error_stddev": ectx.error_stddev,
+            "floor_limbs": ectx.floor_limbs,
         }
     )
 
@@ -50,6 +51,7 @@ def context_from_json(s: str) -> EncodingContext:
         n_inner=o["n_inner"],
         inner_primes=tuple(o["inner_primes"]),
         error_stddev=o["error_stddev"],
+        floor_limbs=o.get("floor_limbs", 2),
     )
 
 

@@ -11,39 +11,8 @@ from ringsnark_tpu.ops import pallas_ntt as pntt
 
 
 def _pallas_interpret(x, tables, tb):
-    """Run the kernel through the Pallas interpreter (no TPU needed)."""
-    from functools import partial
-    import jax.experimental.pallas as pl
-
-    B, L, M = x.shape
-    n_small = pntt.LANE.bit_length() - 1
-    kernel = pntt._ntt_kernel(M, tb)
-
-    def row(i, l):
-        return (l, 0)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(B // tb, L),
-        in_specs=[
-            pl.BlockSpec((L, 1), lambda i, l: (0, 0)),
-            pl.BlockSpec((tb, 1, M), lambda i, l: (i, l, 0)),
-            pl.BlockSpec((1, M), row),
-            pl.BlockSpec((1, M), row),
-            pl.BlockSpec((1, M), row),
-            pl.BlockSpec((1, M), row),
-            pl.BlockSpec((1, n_small, M), lambda i, l: (l, 0, 0)),
-            pl.BlockSpec((1, n_small, M), lambda i, l: (l, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((tb, 1, M), lambda i, l: (i, l, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, M), jnp.uint32),
-        interpret=True,
-    )(
-        jnp.asarray(tables.p_arr[:, None]), x,
-        jnp.asarray(tables.psi), jnp.asarray(tables.psi_sh),
-        jnp.asarray(tables.flat_tw), jnp.asarray(tables.flat_tw_sh),
-        jnp.asarray(tables.pos_tw), jnp.asarray(tables.pos_tw_sh),
-    )
+    """Run the production kernel through the Pallas interpreter."""
+    return pntt.negacyclic_ntt_rev_pallas(x, tables, tb, interpret=True)
 
 
 def test_mulhi32_exact():
@@ -78,7 +47,7 @@ def test_pallas_ntt_matches_xla(M):
     plan = nttm.get_plan(ps, M, negacyclic=True)
     tables = pntt.get_pallas_tables(ps, M)
     rng = np.random.default_rng(2)
-    B, tb = 4, 2
+    B, tb = 16, 8
     x = np.stack(
         [
             np.stack([rng.integers(0, q, M, dtype=np.uint64) for q in ps])
