@@ -89,11 +89,43 @@ def main():
     for _ in range(REP):
         check = fwd(check)
     assert (np.asarray(chained) == np.asarray(check)).all(), "chain mismatch"
-    t0 = time.perf_counter()
-    for _ in range(3):
-        chained = chain(x)
-    chained.block_until_ready()
-    dt = (time.perf_counter() - t0) / (3 * REP)
+
+    def best_of(f, n=5):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f().block_until_ready()
+            times.append((time.perf_counter() - t0) / REP)
+        return min(times)
+
+    dt = best_of(lambda: chain(x))
+    print(f"[bench] xla path: {dt*1e6:.1f} us/batch", file=sys.stderr, flush=True)
+
+    # Pallas kernel (Shoup u32 butterflies, grid-free)
+    try:
+        from ringsnark_tpu.ops import pallas_ntt as pntt
+
+        tables = pntt.get_pallas_tables(primes, N)
+
+        @jax.jit
+        def chain_p(v):
+            for _ in range(REP):
+                v = pntt.negacyclic_ntt_rev_pallas(v, tables, 8)
+            return v
+
+        got = pntt.negacyclic_ntt_rev_pallas(x, tables, 8).block_until_ready()
+        assert (np.asarray(got) == np.asarray(out)).all(), "pallas mismatch"
+        chain_p(x).block_until_ready()
+        dt_p = best_of(lambda: chain_p(x))
+        print(
+            f"[bench] pallas kernel: {dt_p*1e6:.1f} us/batch "
+            f"({dt/dt_p:.1f}x vs xla)",
+            file=sys.stderr, flush=True,
+        )
+        dt = min(dt, dt_p)
+    except Exception as e:  # pallas unavailable (e.g. CPU-only run)
+        print(f"[bench] pallas kernel skipped: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr, flush=True)
     ntts_per_s = BATCH / dt
     print(
         f"[bench] tpu: {dt*1e3:.2f} ms / batch of {BATCH} -> {ntts_per_s:.1f} ntt/s",

@@ -25,6 +25,7 @@ __all__ = [
     "plain_to_inner_ntt",
     "encrypt",
     "decrypt_to_slots",
+    "decrypt_to_slots_exact",
     "ct_add",
     "ct_mul_plain",
     "modswitch",
@@ -195,11 +196,82 @@ def _ct_s_coeffs(ctx: EncodingContext, s_ntt, c0, c1, level: int):
 def decrypt_to_slots(ctx: EncodingContext, sk: SecretKey, ct, level: int):
     """Decrypt -> (slot values uint32[*, L, N'], noise budget bits [*, L]).
 
-    Host-side CRT composition (exact big-int); decode is the rare,
-    designated-verifier-side path.  Noise budget mirrors the reference's
+    Device-side RNS decryption: CRT interpolation computes the centered value
+    mod t without big integers —
+        c(s) = sum_j y_j * (Q/Q_j) - v*Q  with  y_j = c_j * (Q/Q_j)^{-1} mod Q_j,
+        v = round(sum_j y_j / Q_j)
+    where v (and the centering indicator / noise magnitude) come from a
+    float64 sum — exact here because valid ciphertexts keep sum frac far from
+    the 0.5 boundary (|c(s)| << Q/2; the same margin the budget check
+    enforces).  Noise budget mirrors the reference's
     `invariant_noise_budget(...) <= 0` -> decoding_error semantics
-    (`seal_ring.tcc:446-454`).
+    (`seal_ring.tcc:446-454`).  `decrypt_to_slots_exact` is the big-int
+    oracle used to cross-validate this path in tests.
     """
+    slots, budget = _decrypt_device(
+        ctx, sk.s_ntt, ct[0], ct[1], level
+    )
+    return np.asarray(slots), np.asarray(budget)
+
+
+@partial(jax.jit, static_argnames=("ctx", "level"))
+def _decrypt_device(ctx: EncodingContext, s_ntt, c0, c1, level: int):
+    primes = ctx.level_primes(level)
+    Lp = len(primes)
+    coeffs = _ct_s_coeffs(ctx, s_ntt, c0, c1, level)  # [*, L, L', N']
+
+    Q = 1
+    for q in primes:
+        Q = Q * q
+    # y_j = c_j * (Q/Q_j)^{-1} mod Q_j
+    inv_np = np.array(
+        [pow(Q // qj, -1, qj) for qj in primes], dtype=np.uint64
+    )[:, None]
+    pj, muj, bj = ctx.inner_consts(level)
+    y = barrett_reduce_u64(coeffs.astype(jnp.uint64) * inv_np, pj, muj, bj)
+
+    # v = round(sum_j y_j / Q_j); frac = sum - v in [-0.5, 0.5)
+    fr = jnp.sum(
+        y.astype(jnp.float64) / np.array(primes, dtype=np.float64)[:, None],
+        axis=-2,
+    )  # [*, L, N']
+    v = jnp.round(fr)
+    resid = fr - v  # c(s)/Q in [-0.5, 0.5)
+
+    # noise budget: log2((Q/2) / |c(s)|) = -1 - log2(max |resid|)
+    absr = jnp.max(jnp.abs(resid), axis=-1)  # [*, L]
+    budget = jnp.floor(-1.0 - jnp.log2(jnp.maximum(absr, 2.0**-62))).astype(
+        jnp.int64
+    )
+
+    # centered(c(s)) mod t = sum_j y_j*(Q/Q_j mod t) - v*(Q mod t)  (mod t)
+    t_np = ctx.t_np  # [L]
+    Mj_mod_t = np.array(
+        [[(Q // qj) % int(t) for qj in primes] for t in t_np], dtype=np.uint64
+    )  # [L, L']
+    Q_mod_t = np.array([Q % int(t) for t in t_np], dtype=np.uint64)  # [L]
+    tvec = t_np.astype(np.uint64)  # [L]
+    # per-product reduction mod t (u64 exact: y, Mj_mod_t < 2^31), lazy sum
+    m_terms = (y.astype(jnp.uint64) * Mj_mod_t[:, :, None]) % tvec[:, None, None]
+    acc = jnp.sum(m_terms, axis=-2)  # [*, L, N'] — < L' * t < 2^36
+    v_term = (v.astype(jnp.uint64) * Q_mod_t[:, None]) % tvec[:, None]
+    m = (acc + tvec[:, None] - v_term) % tvec[:, None]
+
+    # undo the modswitch correction factor
+    corr = ctx.correction_factor(level)
+    inv_corr = np.array(
+        [pow(int(c), -1, int(t_i)) for c, t_i in zip(corr, ctx.ring.primes)],
+        dtype=np.uint64,
+    )
+    m = (m * inv_corr[:, None]) % tvec[:, None]
+    m_coeffs = m.astype(jnp.uint32)
+
+    slots = _ntt.negacyclic_ntt_rev(m_coeffs, ctx.plain_plan)
+    return slots, budget
+
+
+def decrypt_to_slots_exact(ctx: EncodingContext, sk: SecretKey, ct, level: int):
+    """Big-int oracle decryption (host); cross-validates _decrypt_device."""
     primes = ctx.level_primes(level)
     coeffs = np.asarray(_ct_s_coeffs(ctx, sk.s_ntt, ct[0], ct[1], level))
 

@@ -150,96 +150,89 @@ def _submod(a, b, p):
     return jnp.where(d >= p, d - p, d)
 
 
-def _ntt_kernel(M: int, TB: int):
+def _ntt_kernel_gridfree(M: int, TB: int, primes: tuple[int, ...]):
+    """Grid-free kernel: one program transforms [L, TB, M] entirely in VMEM.
+
+    This environment's remote Mosaic compiler rejects any gridded
+    pallas_call, so the limb loop is unrolled in the kernel with the limb
+    prime as an immediate constant (which also saves the SMEM reads)."""
     n_big = (M // LANE).bit_length() - 1
     n_small = LANE.bit_length() - 1
+    L = len(primes)
 
-    def kernel(p_ref, x_ref, psi_ref, psi_sh_ref, ftw_ref, ftw_sh_ref,
+    def kernel(x_ref, psi_ref, psi_sh_ref, ftw_ref, ftw_sh_ref,
                ptw_ref, ptw_sh_ref, out_ref):
-        p = p_ref[pl.program_id(0), 0]
-        x = x_ref[0]  # (TB, M)
-        # psi twist
-        x = _shoup_mul(x, psi_ref[0, 0], psi_sh_ref[0, 0], p)
-
-        # big stages: lane-preserving reshapes
-        off = 0
-        for s in range(n_big):
-            d = M >> (s + 1)
-            nb = M // (2 * d)
-            xr = x.reshape(TB, nb, 2, d)
-            a_, b_ = xr[:, :, 0, :], xr[:, :, 1, :]
-            tw = ftw_ref[0, 0, off : off + d]
-            tw_sh = ftw_sh_ref[0, 0, off : off + d]
-            na = _addmod(a_, b_, p)
-            nb_ = _shoup_mul(_submod(a_, b_, p), tw, tw_sh, p)
-            x = jnp.stack([na, nb_], axis=2).reshape(TB, M)
-            off += d
-
-        # small stages: roll + masked select inside 128-lane tiles
         lane_idx = jax.lax.broadcasted_iota(jnp.uint32, (TB, M), 1)
-        for s in range(n_small):
-            d = LANE >> (s + 1)
-            is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
-            # shifts as i32 scalars (x64 Python ints lower to an i64
-            # dynamic_rotate operand Mosaic rejects)
-            partner_fwd = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
-            partner_bwd = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
-            na = _addmod(x, partner_fwd, p)
-            sub = _submod(partner_bwd, x, p)
-            nb_ = _shoup_mul(sub, ptw_ref[0, s, :], ptw_sh_ref[0, s, :], p)
-            x = jnp.where(is_a, na, nb_)
+        for l in range(L):
+            p = jnp.uint32(primes[l])
+            x = x_ref[l]  # (TB, M)
+            x = _shoup_mul(x, psi_ref[l], psi_sh_ref[l], p)
 
-        out_ref[0] = x
+            # big stages: lane-preserving reshapes
+            off = 0
+            for s in range(n_big):
+                d = M >> (s + 1)
+                nb = M // (2 * d)
+                xr = x.reshape(TB, nb, 2, d)
+                a_, b_ = xr[:, :, 0, :], xr[:, :, 1, :]
+                tw = ftw_ref[l, off : off + d]
+                tw_sh = ftw_sh_ref[l, off : off + d]
+                na = _addmod(a_, b_, p)
+                nb_ = _shoup_mul(_submod(a_, b_, p), tw, tw_sh, p)
+                x = jnp.stack([na, nb_], axis=2).reshape(TB, M)
+                off += d
+
+            # small stages: roll + masked select inside 128-lane tiles
+            for s in range(n_small):
+                d = LANE >> (s + 1)
+                is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
+                # i32 shifts (x64 ints lower to i64 rotate operands)
+                partner_fwd = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
+                partner_bwd = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
+                na = _addmod(x, partner_fwd, p)
+                sub = _submod(partner_bwd, x, p)
+                nb_ = _shoup_mul(sub, ptw_ref[l, s, :], ptw_sh_ref[l, s, :], p)
+                x = jnp.where(is_a, na, nb_)
+
+            out_ref[l] = x
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("tables", "tb", "interpret"))
-def negacyclic_ntt_rev_pallas(x, tables: PallasNTTTables, tb: int = 8, interpret: bool = False):
+def negacyclic_ntt_rev_pallas(x, tables: PallasNTTTables, tb: int = 8,
+                              interpret: bool = False):
     """x: uint32[B, L, M] -> negacyclic NTT (bit-reversed out), per limb.
 
-    Grid: (L, B/tb); data is transposed to [L, B, M] so every block keeps
-    the (sublane, lane) = (tb, M) tile shape Mosaic requires; per-limb
-    tables are [L, 1, M] for the same reason.
+    Grid-free: each pallas_call transforms a [L, tb, M] chunk fully in VMEM
+    (limb loop unrolled in-kernel); larger batches chunk over sequential
+    calls.  VMEM use ≈ 2*L*tb*M*4 + tables — keep tb*M*L ≲ 1.5M words.
     """
     B, L, M = x.shape
     assert L == tables.L and M == tables.M
     assert B % tb == 0 and tb % 8 == 0, f"batch tile {tb} must be 8-aligned"
-    n_small = LANE.bit_length() - 1
 
-    kernel = _ntt_kernel(M, tb)
-    grid = (L, B // tb)
-
-    def limb_row(l, i):
-        return (l, 0, 0)
-
-    xt = jnp.transpose(x, (1, 0, 2))  # [L, B, M]
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, 1), lambda l, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tb, M), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), limb_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), limb_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), limb_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), limb_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_small, M), limb_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_small, M), limb_row, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tb, M), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((L, B, M), jnp.uint32),
-        interpret=interpret,
-    )(
-        jnp.asarray(tables.p_arr[:, None]),
-        xt,
-        jnp.asarray(tables.psi[:, None, :]),
-        jnp.asarray(tables.psi_sh[:, None, :]),
-        jnp.asarray(tables.flat_tw[:, None, :]),
-        jnp.asarray(tables.flat_tw_sh[:, None, :]),
+    kernel = _ntt_kernel_gridfree(M, tb, tables.primes)
+    tbl_args = (
+        jnp.asarray(tables.psi),
+        jnp.asarray(tables.psi_sh),
+        jnp.asarray(tables.flat_tw),
+        jnp.asarray(tables.flat_tw_sh),
         jnp.asarray(tables.pos_tw),
         jnp.asarray(tables.pos_tw_sh),
     )
-    return jnp.transpose(out, (1, 0, 2))
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, tb, M), jnp.uint32),
+        interpret=interpret,
+    )
+
+    xt = jnp.transpose(x, (1, 0, 2))  # [L, B, M]
+    chunks = []
+    for c in range(B // tb):
+        out = call(xt[:, c * tb : (c + 1) * tb, :], *tbl_args)
+        chunks.append(out)
+    full = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+    return jnp.transpose(full, (1, 0, 2))

@@ -172,3 +172,21 @@ def test_noise_budget_exhaustion_raises(setup):
         a = a * big
     with pytest.raises(DecodingError):
         decode(ctx, sk, e)
+
+
+def test_device_decrypt_matches_exact_oracle(setup):
+    from ringsnark_tpu.encoding import bgv
+
+    ctx, sk, rng = setup
+    msgs = RingElem.stack([RingElem.random_element(ctx.ring, rng) for _ in range(3)])
+    e = encode(ctx, sk, msgs, jax.random.PRNGKey(77))
+    # also exercise a switched level
+    for enc_obj in (e, e.modswitch()):
+        ct = (enc_obj.c0, enc_obj.c1)
+        s_fast, b_fast = bgv.decrypt_to_slots(ctx, sk, ct, enc_obj.level)
+        s_ex, b_ex = bgv.decrypt_to_slots_exact(ctx, sk, ct, enc_obj.level)
+        assert (s_fast == s_ex).all()
+        # budgets agree within the float error floor
+        assert (np.abs(b_fast - b_ex) <= 2).all() or (
+            (b_fast > 10) & (b_ex > 10)
+        ).all()
