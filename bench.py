@@ -75,7 +75,7 @@ def main():
 
     # timing: chain REP dependent applications inside one jit — per-call
     # relay/dispatch latency otherwise dominates on this tunnel.
-    REP = 20
+    REP = 10
 
     @jax.jit
     def chain(v):
@@ -83,14 +83,17 @@ def main():
             v = nttm.negacyclic_ntt_rev(v, plan)
         return v
 
+    t0 = time.perf_counter()
     chained = chain(x).block_until_ready()  # compile + warm
+    print(f"[bench] chain compile: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
     # verify the chain really computes REP sequential NTTs
     check = x
     for _ in range(REP):
         check = fwd(check)
     assert (np.asarray(chained) == np.asarray(check)).all(), "chain mismatch"
 
-    def best_of(f, n=5):
+    def best_of(f, n=3):
         times = []
         for _ in range(n):
             t0 = time.perf_counter()

@@ -185,6 +185,9 @@ def _c(arr, extra_dims: int):
 
 def cyclic_ntt_rev(x, plan: NTTPlan):
     """Forward cyclic NTT along the last axis; natural in, bit-reversed out."""
+    routed = _pallas_route(x, plan, inverse=False, negacyclic=False)
+    if routed is not None:
+        return routed
     M = plan.M
     batch = x.shape[:-1]  # (..., L)
     p, mu, b = plan.p, plan.mu, plan.pbits
@@ -202,6 +205,10 @@ def cyclic_ntt_rev(x, plan: NTTPlan):
 
 def cyclic_intt_nat(x, plan: NTTPlan, scale: bool = True):
     """Inverse cyclic NTT along the last axis; bit-reversed in, natural out."""
+    if scale:  # scale=False is an internal composition step — XLA path only
+        routed = _pallas_route(x, plan, inverse=True, negacyclic=False)
+        if routed is not None:
+            return routed
     M = plan.M
     batch = x.shape[:-1]
     p, mu, b = plan.p, plan.mu, plan.pbits
@@ -223,6 +230,9 @@ def cyclic_intt_nat(x, plan: NTTPlan, scale: bool = True):
 def negacyclic_ntt_rev(x, plan: NTTPlan):
     """Negacyclic forward NTT: psi-twist then cyclic; natural in, rev out."""
     assert plan.psi is not None, "plan built without negacyclic=True"
+    routed = _pallas_route(x, plan, inverse=False, negacyclic=True)
+    if routed is not None:
+        return routed
     x = mul_mod(x, plan.psi, plan.p, plan.mu, plan.pbits)
     return cyclic_ntt_rev(x, plan)
 
@@ -230,5 +240,72 @@ def negacyclic_ntt_rev(x, plan: NTTPlan):
 def negacyclic_intt_nat(y, plan: NTTPlan):
     """Negacyclic inverse NTT: cyclic inverse then psi^-1 twist (M^-1 folded)."""
     assert plan.psi_inv_scaled is not None
+    routed = _pallas_route(y, plan, inverse=True, negacyclic=True)
+    if routed is not None:
+        return routed
     x = cyclic_intt_nat(y, plan, scale=False)
     return mul_mod(x, plan.psi_inv_scaled, plan.p, plan.mu, plan.pbits)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU backend routing
+# ---------------------------------------------------------------------------
+# RINGSNARK_NTT_BACKEND = auto (default: Pallas on TPU) | pallas | xla
+
+import os as _os
+
+_NTT_BACKEND = _os.environ.get("RINGSNARK_NTT_BACKEND", "auto")
+_PALLAS_TB = 8
+# VMEM estimate per call: 4 * Lc * M * (2*tb + 20) bytes; stay under ~12 MB
+_PALLAS_VMEM_WORDS = 3_000_000
+
+
+def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
+    """Try the fused Pallas kernel; return None to fall back to the XLA path."""
+    if _NTT_BACKEND == "xla":
+        return None
+    M = plan.M
+    if M < 256 or M % 128:
+        return None
+    if _NTT_BACKEND == "auto":
+        try:
+            import jax
+
+            if jax.default_backend() != "tpu":
+                return None
+        except Exception:
+            return None
+    for p in plan.primes:
+        if (p - 1) % (2 * M):
+            return None  # tables need the negacyclic root even for cyclic use
+    from . import pallas_ntt as _pn
+
+    fn = {
+        (False, True): _pn.negacyclic_ntt_rev_pallas,
+        (True, True): _pn.negacyclic_intt_nat_pallas,
+        (False, False): _pn.cyclic_ntt_rev_pallas,
+        (True, False): _pn.cyclic_intt_nat_pallas,
+    }[(inverse, negacyclic)]
+
+    L = x.shape[-2]
+    assert L == len(plan.primes)
+    lead = x.shape[:-2]
+    B0 = 1
+    for dim in lead:
+        B0 *= dim
+    xr = x.reshape(B0, L, M)
+    pad = (-B0) % _PALLAS_TB
+    if pad:
+        xr = jnp.pad(xr, ((0, pad), (0, 0), (0, 0)))
+
+    # chunk the limb axis so tables + buffers fit VMEM
+    max_lc = max(1, _PALLAS_VMEM_WORDS // (M * (2 * _PALLAS_TB + 20)))
+    outs = []
+    for lo in range(0, L, max_lc):
+        sub = tuple(plan.primes[lo : lo + max_lc])
+        tables = _pn.get_pallas_tables(sub, M)
+        outs.append(fn(xr[:, lo : lo + max_lc, :], tables, _PALLAS_TB))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    if pad:
+        out = out[:B0]
+    return out.reshape(*lead, L, M)

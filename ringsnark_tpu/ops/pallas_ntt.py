@@ -1,8 +1,8 @@
-"""Pallas TPU kernel for the negacyclic NTT (the north-star kernel).
+"""Pallas TPU kernels for the NTT family (the north-star kernels).
 
-Single fused kernel per (batch-tile, limb): all log2(M) DIF stages run with
-the polynomial resident in VMEM, using Shoup precomputed-twiddle multiplies
-in pure uint32 (no 64-bit emulation):
+Forward/inverse x cyclic/negacyclic transforms as single fused grid-free
+kernels: all log2(M) stages run with the polynomial resident in VMEM, using
+Shoup precomputed-twiddle multiplies in pure uint32 (no 64-bit emulation):
 
     q  = mulhi32(a, w_shoup)        # w_shoup = floor(w * 2^32 / p)
     r  = a*w - q*p   (mod 2^32)     # r < 2p, one conditional subtract
@@ -10,14 +10,19 @@ in pure uint32 (no 64-bit emulation):
 `mulhi32` is built from 16-bit partial products (TPU has no 32x32->64).
 
 Stage strategy (Mosaic layout constraints):
-* stages with butterfly distance d >= 128: lane dimension untouched —
-  reshape to [..., nb, 2, d] and slice (the XLA-path formulation);
-* stages with d < 128: butterflies live inside 128-lane tiles — use
-  pltpu.roll(+-d) along the last axis with an iota mask (positioned
-  twiddle vectors precomputed host-side), avoiding sub-lane reshapes.
+* butterfly distance d >= 128: lane dimension untouched — reshape to
+  [..., nb, 2, d] and slice (the XLA-path formulation);
+* d < 128: butterflies live inside 128-lane tiles — pltpu.roll(+-d) along
+  the last axis with an iota mask and positioned twiddle vectors
+  (precomputed host-side), avoiding sub-lane reshapes.
 
-Output ordering matches ops/ntt.py exactly (DIF: natural in, bit-reversed
-out), validated bit-for-bit in tests/test_pallas_ntt.py.
+Kernels are GRID-FREE (single program, limb loop unrolled with the prime as
+an immediate): this environment's remote Mosaic compiler rejects any gridded
+pallas_call.  Larger batches chunk over sequential calls.
+
+Orderings match ops/ntt.py exactly (forward: natural in -> bit-reversed out;
+inverse: bit-reversed in -> natural out, scaled), validated bit-for-bit in
+tests/test_pallas_ntt.py.
 """
 
 from __future__ import annotations
@@ -31,10 +36,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import primes as _primes
 from .ntt import _mod_powers, get_plan
 
-__all__ = ["get_pallas_tables", "negacyclic_ntt_rev_pallas", "LANE"]
+__all__ = [
+    "get_pallas_tables",
+    "negacyclic_ntt_rev_pallas",
+    "negacyclic_intt_nat_pallas",
+    "cyclic_ntt_rev_pallas",
+    "cyclic_intt_nat_pallas",
+    "LANE",
+]
 
 LANE = 128
 
@@ -43,13 +54,22 @@ LANE = 128
 class PallasNTTTables:
     primes: tuple[int, ...]
     M: int
+    # forward
     psi: object = field(hash=False, compare=False)  # [L, M]
     psi_sh: object = field(hash=False, compare=False)
-    flat_tw: object = field(hash=False, compare=False)  # [L, M] big-stage segments
+    flat_tw: object = field(hash=False, compare=False)  # [L, M] big-stage segs
     flat_tw_sh: object = field(hash=False, compare=False)
-    pos_tw: object = field(hash=False, compare=False)  # [L, n_small, M] positioned
+    pos_tw: object = field(hash=False, compare=False)  # [L, n_small, M]
     pos_tw_sh: object = field(hash=False, compare=False)
-    p_arr: object = field(hash=False, compare=False)  # [L] uint32
+    # inverse
+    inv_flat_tw: object = field(hash=False, compare=False)  # [L, M] (d=128..M/2)
+    inv_flat_tw_sh: object = field(hash=False, compare=False)
+    inv_pos_tw: object = field(hash=False, compare=False)  # [L, n_small, M]
+    inv_pos_tw_sh: object = field(hash=False, compare=False)
+    psiinv_s: object = field(hash=False, compare=False)  # [L, M] psi^-i * M^-1
+    psiinv_s_sh: object = field(hash=False, compare=False)
+    minv: tuple = field(hash=False, compare=False)  # per-limb ints
+    minv_sh: tuple = field(hash=False, compare=False)
 
     @property
     def L(self):
@@ -68,55 +88,69 @@ def get_pallas_tables(primes: tuple[int, ...], M: int) -> PallasNTTTables:
 
     psi = plan.psi.astype(np.uint32)  # [L, M]
     psi_sh = np.stack([_shoup(psi[l], primes[l]) for l in range(L)])
+    psiinv_s = plan.psi_inv_scaled.astype(np.uint32)
+    psiinv_s_sh = np.stack([_shoup(psiinv_s[l], primes[l]) for l in range(L)])
 
-    n_big = (M // LANE).bit_length() - 1  # stages with d >= LANE: d = M/2..LANE
+    n_big = (M // LANE).bit_length() - 1  # d = M/2 .. LANE
     n_small = LANE.bit_length() - 1  # d = LANE/2 .. 1
-
-    # big stages: concatenated per-stage twiddle segments (total M - LANE + ...)
-    flat, flat_sh = [], []
-    for l, p in enumerate(primes):
-        w_pows = _mod_powers(plan.w_np[l], M, p).astype(np.uint32)
-        segs = []
-        for s in range(n_big):
-            d = M >> (s + 1)
-            stride = M // (2 * d)
-            segs.append(w_pows[: d * stride : stride][:d])
-        seg = np.concatenate(segs)
-        pad = np.zeros(M - len(seg), dtype=np.uint32)
-        full = np.concatenate([seg, pad])
-        flat.append(full)
-        flat_sh.append(_shoup(full, p))
-    flat_tw = np.stack(flat)
-    flat_tw_sh = np.stack(flat_sh)
-
-    # small stages: positioned twiddle vectors over the full axis.
-    # position k is a 'b' output iff (k mod 2d) >= d; its twiddle index is
-    # ((k mod 2d) - d) * stride.  'a' positions hold 1 (multiplied into the
-    # discarded lane of the select).
-    pos, pos_sh = [], []
     ks = np.arange(M)
+
+    def build(dirn_pows, l, p, inverse: bool):
+        """(flat big-stage segments [M], positioned small-stage rows)."""
+        segs = []
+        big_ds = (
+            [M >> (s + 1) for s in range(n_big)]  # fwd: M/2 .. 128
+            if not inverse
+            else [LANE << s for s in range(n_big)]  # inv: 128 .. M/2
+        )
+        for d in big_ds:
+            stride = M // (2 * d)
+            segs.append(dirn_pows[: d * stride : stride][:d])
+        seg = np.concatenate(segs)
+        flat = np.concatenate([seg, np.zeros(M - len(seg), dtype=np.uint32)])
+        rows = []
+        for s in range(n_small):
+            d = LANE >> (s + 1) if not inverse else 1 << s
+            stride = M // (2 * d)
+            if not inverse:
+                # fwd DIF: twiddle on 'b' outputs, index (k mod 2d) - d
+                off = ks % (2 * d)
+                tw = np.where(off >= d, dirn_pows[((off - d) * stride) % M], 1)
+            else:
+                # inv DIT: same twiddle index k mod d at both pair positions
+                tw = dirn_pows[((ks % d) * stride) % M]
+            rows.append(tw.astype(np.uint32))
+        return flat, np.stack(rows)
+
+    flat, flat_sh, pos, pos_sh = [], [], [], []
+    iflat, iflat_sh, ipos, ipos_sh = [], [], [], []
+    minv, minv_sh = [], []
     for l, p in enumerate(primes):
         w_pows = _mod_powers(plan.w_np[l], M, p).astype(np.uint32)
-        rows, rows_sh = [], []
-        for s in range(n_small):
-            d = LANE >> (s + 1)
-            stride = M // (2 * d)
-            off = ks % (2 * d)
-            tw = np.where(off >= d, w_pows[((off - d) * stride) % M], 1).astype(
-                np.uint32
-            )
-            rows.append(tw)
-            rows_sh.append(_shoup(tw, p))
-        pos.append(np.stack(rows))
-        pos_sh.append(np.stack(rows_sh))
-    pos_tw = np.stack(pos)  # [L, n_small, M]
-    pos_tw_sh = np.stack(pos_sh)
+        winv_pows = _mod_powers(pow(plan.w_np[l], p - 2, p), M, p).astype(np.uint32)
+        f, po = build(w_pows, l, p, inverse=False)
+        flat.append(f)
+        flat_sh.append(_shoup(f, p))
+        pos.append(po)
+        pos_sh.append(np.stack([_shoup(r, p) for r in po]))
+        fi, poi = build(winv_pows, l, p, inverse=True)
+        iflat.append(fi)
+        iflat_sh.append(_shoup(fi, p))
+        ipos.append(poi)
+        ipos_sh.append(np.stack([_shoup(r, p) for r in poi]))
+        mv = pow(M, p - 2, p)
+        minv.append(mv)
+        minv_sh.append((mv << 32) // p)
 
     return PallasNTTTables(
-        primes=primes, M=M, psi=psi, psi_sh=psi_sh,
-        flat_tw=flat_tw, flat_tw_sh=flat_tw_sh,
-        pos_tw=pos_tw, pos_tw_sh=pos_tw_sh,
-        p_arr=np.array(primes, dtype=np.uint32),
+        primes=primes, M=M,
+        psi=psi, psi_sh=psi_sh,
+        flat_tw=np.stack(flat), flat_tw_sh=np.stack(flat_sh),
+        pos_tw=np.stack(pos), pos_tw_sh=np.stack(pos_sh),
+        inv_flat_tw=np.stack(iflat), inv_flat_tw_sh=np.stack(iflat_sh),
+        inv_pos_tw=np.stack(ipos), inv_pos_tw_sh=np.stack(ipos_sh),
+        psiinv_s=psiinv_s, psiinv_s_sh=psiinv_s_sh,
+        minv=tuple(minv), minv_sh=tuple(minv_sh),
     )
 
 
@@ -150,77 +184,120 @@ def _submod(a, b, p):
     return jnp.where(d >= p, d - p, d)
 
 
-def _ntt_kernel_gridfree(M: int, TB: int, primes: tuple[int, ...]):
+def _ntt_kernel_gridfree(
+    M: int, TB: int, primes: tuple[int, ...], inverse: bool, negacyclic: bool,
+    minv: tuple, minv_sh: tuple,
+):
     """Grid-free kernel: one program transforms [L, TB, M] entirely in VMEM.
 
-    This environment's remote Mosaic compiler rejects any gridded
-    pallas_call, so the limb loop is unrolled in the kernel with the limb
-    prime as an immediate constant (which also saves the SMEM reads)."""
+    The remote Mosaic compiler here rejects any gridded pallas_call, so the
+    limb loop is unrolled with the limb prime as an immediate constant."""
     n_big = (M // LANE).bit_length() - 1
     n_small = LANE.bit_length() - 1
     L = len(primes)
 
-    def kernel(x_ref, psi_ref, psi_sh_ref, ftw_ref, ftw_sh_ref,
-               ptw_ref, ptw_sh_ref, out_ref):
+    def fwd_big(x, p, ftw_ref, ftw_sh_ref, l):
+        off = 0
+        for s in range(n_big):
+            d = M >> (s + 1)
+            nb = M // (2 * d)
+            xr = x.reshape(TB, nb, 2, d)
+            a_, b_ = xr[:, :, 0, :], xr[:, :, 1, :]
+            tw = ftw_ref[l, off : off + d]
+            tw_sh = ftw_sh_ref[l, off : off + d]
+            na = _addmod(a_, b_, p)
+            nb_ = _shoup_mul(_submod(a_, b_, p), tw, tw_sh, p)
+            x = jnp.stack([na, nb_], axis=2).reshape(TB, M)
+            off += d
+        return x
+
+    def fwd_small(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
+        for s in range(n_small):
+            d = LANE >> (s + 1)
+            is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
+            partner_fwd = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
+            partner_bwd = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
+            na = _addmod(x, partner_fwd, p)
+            sub = _submod(partner_bwd, x, p)
+            nb_ = _shoup_mul(sub, ptw_ref[l, s, :], ptw_sh_ref[l, s, :], p)
+            x = jnp.where(is_a, na, nb_)
+        return x
+
+    def inv_small(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
+        for s in range(n_small):
+            d = 1 << s
+            is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
+            tw = ptw_ref[l, s, :]
+            tw_sh = ptw_sh_ref[l, s, :]
+            t_fwd = _shoup_mul(pltpu.roll(x, jnp.int32(M - d), 1), tw, tw_sh, p)
+            # a' = x[k] + w*x[k+d];  b' = x[k-d] - w*x[k]
+            a_new = _addmod(x, t_fwd, p)
+            t_self = _shoup_mul(x, tw, tw_sh, p)
+            b_new = _submod(pltpu.roll(x, jnp.int32(d), 1), t_self, p)
+            x = jnp.where(is_a, a_new, b_new)
+        return x
+
+    def inv_big(x, p, ftw_ref, ftw_sh_ref, l):
+        off = 0
+        for s in range(n_big):
+            d = LANE << s
+            nb = M // (2 * d)
+            xr = x.reshape(TB, nb, 2, d)
+            a_, b_ = xr[:, :, 0, :], xr[:, :, 1, :]
+            tw = ftw_ref[l, off : off + d]
+            tw_sh = ftw_sh_ref[l, off : off + d]
+            t = _shoup_mul(b_, tw, tw_sh, p)
+            na = _addmod(a_, t, p)
+            nb_ = _submod(a_, t, p)
+            x = jnp.stack([na, nb_], axis=2).reshape(TB, M)
+            off += d
+        return x
+
+    def kernel(x_ref, tw1_ref, tw1_sh_ref, tw2_ref, tw2_sh_ref,
+               scale_ref, scale_sh_ref, out_ref):
         lane_idx = jax.lax.broadcasted_iota(jnp.uint32, (TB, M), 1)
         for l in range(L):
             p = jnp.uint32(primes[l])
             x = x_ref[l]  # (TB, M)
-            x = _shoup_mul(x, psi_ref[l], psi_sh_ref[l], p)
-
-            # big stages: lane-preserving reshapes
-            off = 0
-            for s in range(n_big):
-                d = M >> (s + 1)
-                nb = M // (2 * d)
-                xr = x.reshape(TB, nb, 2, d)
-                a_, b_ = xr[:, :, 0, :], xr[:, :, 1, :]
-                tw = ftw_ref[l, off : off + d]
-                tw_sh = ftw_sh_ref[l, off : off + d]
-                na = _addmod(a_, b_, p)
-                nb_ = _shoup_mul(_submod(a_, b_, p), tw, tw_sh, p)
-                x = jnp.stack([na, nb_], axis=2).reshape(TB, M)
-                off += d
-
-            # small stages: roll + masked select inside 128-lane tiles
-            for s in range(n_small):
-                d = LANE >> (s + 1)
-                is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
-                # i32 shifts (x64 ints lower to i64 rotate operands)
-                partner_fwd = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
-                partner_bwd = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
-                na = _addmod(x, partner_fwd, p)
-                sub = _submod(partner_bwd, x, p)
-                nb_ = _shoup_mul(sub, ptw_ref[l, s, :], ptw_sh_ref[l, s, :], p)
-                x = jnp.where(is_a, na, nb_)
-
+            if not inverse:
+                if negacyclic:
+                    x = _shoup_mul(x, scale_ref[l], scale_sh_ref[l], p)
+                x = fwd_big(x, p, tw1_ref, tw1_sh_ref, l)
+                x = fwd_small(x, p, tw2_ref, tw2_sh_ref, l, lane_idx)
+            else:
+                x = inv_small(x, p, tw2_ref, tw2_sh_ref, l, lane_idx)
+                x = inv_big(x, p, tw1_ref, tw1_sh_ref, l)
+                if negacyclic:
+                    x = _shoup_mul(x, scale_ref[l], scale_sh_ref[l], p)
+                else:
+                    x = _shoup_mul(
+                        x, jnp.uint32(minv[l]), jnp.uint32(minv_sh[l]), p
+                    )
             out_ref[l] = x
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("tables", "tb", "interpret"))
-def negacyclic_ntt_rev_pallas(x, tables: PallasNTTTables, tb: int = 8,
-                              interpret: bool = False):
-    """x: uint32[B, L, M] -> negacyclic NTT (bit-reversed out), per limb.
-
-    Grid-free: each pallas_call transforms a [L, tb, M] chunk fully in VMEM
-    (limb loop unrolled in-kernel); larger batches chunk over sequential
-    calls.  VMEM use ≈ 2*L*tb*M*4 + tables — keep tb*M*L ≲ 1.5M words.
-    """
+@partial(jax.jit, static_argnames=("tables", "tb", "inverse", "negacyclic", "interpret"))
+def _apply(x, tables: PallasNTTTables, tb: int, inverse: bool,
+           negacyclic: bool, interpret: bool = False):
+    """x: uint32[B, L, M]; grid-free chunked application (see module doc)."""
     B, L, M = x.shape
     assert L == tables.L and M == tables.M
     assert B % tb == 0 and tb % 8 == 0, f"batch tile {tb} must be 8-aligned"
 
-    kernel = _ntt_kernel_gridfree(M, tb, tables.primes)
-    tbl_args = (
-        jnp.asarray(tables.psi),
-        jnp.asarray(tables.psi_sh),
-        jnp.asarray(tables.flat_tw),
-        jnp.asarray(tables.flat_tw_sh),
-        jnp.asarray(tables.pos_tw),
-        jnp.asarray(tables.pos_tw_sh),
+    kernel = _ntt_kernel_gridfree(
+        M, tb, tables.primes, inverse, negacyclic, tables.minv, tables.minv_sh
     )
+    if not inverse:
+        tbl = (tables.flat_tw, tables.flat_tw_sh,
+               tables.pos_tw, tables.pos_tw_sh,
+               tables.psi, tables.psi_sh)
+    else:
+        tbl = (tables.inv_flat_tw, tables.inv_flat_tw_sh,
+               tables.inv_pos_tw, tables.inv_pos_tw_sh,
+               tables.psiinv_s, tables.psiinv_s_sh)
+    tbl_args = tuple(jnp.asarray(t) for t in tbl)
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
@@ -232,7 +309,22 @@ def negacyclic_ntt_rev_pallas(x, tables: PallasNTTTables, tb: int = 8,
     xt = jnp.transpose(x, (1, 0, 2))  # [L, B, M]
     chunks = []
     for c in range(B // tb):
-        out = call(xt[:, c * tb : (c + 1) * tb, :], *tbl_args)
-        chunks.append(out)
+        chunks.append(call(xt[:, c * tb : (c + 1) * tb, :], *tbl_args))
     full = jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
     return jnp.transpose(full, (1, 0, 2))
+
+
+def negacyclic_ntt_rev_pallas(x, tables, tb: int = 8, interpret: bool = False):
+    return _apply(x, tables, tb, inverse=False, negacyclic=True, interpret=interpret)
+
+
+def negacyclic_intt_nat_pallas(x, tables, tb: int = 8, interpret: bool = False):
+    return _apply(x, tables, tb, inverse=True, negacyclic=True, interpret=interpret)
+
+
+def cyclic_ntt_rev_pallas(x, tables, tb: int = 8, interpret: bool = False):
+    return _apply(x, tables, tb, inverse=False, negacyclic=False, interpret=interpret)
+
+
+def cyclic_intt_nat_pallas(x, tables, tb: int = 8, interpret: bool = False):
+    return _apply(x, tables, tb, inverse=True, negacyclic=False, interpret=interpret)

@@ -57,3 +57,35 @@ def test_pallas_ntt_matches_xla(M):
     want = np.asarray(nttm.negacyclic_ntt_rev(jnp.asarray(x), plan))
     got = np.asarray(_pallas_interpret(jnp.asarray(x), tables, tb))
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("M", [256, 1024])
+def test_pallas_inverse_and_cyclic_match_xla(M):
+    ps = tuple(pr.find_ntt_primes(2, 1 << 12))
+    plan_neg = nttm.get_plan(ps, M, negacyclic=True)
+    plan_cyc = nttm.get_plan(ps, M)
+    tables = pntt.get_pallas_tables(ps, M)
+    rng = np.random.default_rng(5)
+    B, tb = 16, 8
+    x = np.stack(
+        [
+            np.stack([rng.integers(0, q, M, dtype=np.uint64) for q in ps])
+            for _ in range(B)
+        ]
+    ).astype(np.uint32)
+    xj = jnp.asarray(x)
+
+    # negacyclic inverse
+    y = nttm.negacyclic_ntt_rev(xj, plan_neg)
+    want = np.asarray(nttm.negacyclic_intt_nat(y, plan_neg))
+    got = np.asarray(pntt.negacyclic_intt_nat_pallas(y, tables, tb, interpret=True))
+    assert (got == want).all() and (got == x).all()
+
+    # cyclic forward + inverse
+    want_f = np.asarray(nttm.cyclic_ntt_rev(xj, plan_cyc))
+    got_f = np.asarray(pntt.cyclic_ntt_rev_pallas(xj, tables, tb, interpret=True))
+    assert (got_f == want_f).all()
+    got_b = np.asarray(
+        pntt.cyclic_intt_nat_pallas(jnp.asarray(got_f), tables, tb, interpret=True)
+    )
+    assert (got_b == x).all()
