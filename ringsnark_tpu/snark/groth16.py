@@ -30,7 +30,8 @@ from ..utils.domain import RootsDomain
 from ..utils.poly_arr import eval_coeffs_at, ring_batch_scale
 from .api import KeyPair, SnarkParams
 
-__all__ = ["ProvingKey", "VerificationKey", "Proof", "generator", "prover", "verifier"]
+__all__ = ["ProvingKey", "VerificationKey", "ProcessedVerificationKey", "Proof",
+           "generator", "prover", "verifier", "verifier_process", "online_verifier"]
 
 
 @dataclass
@@ -223,12 +224,37 @@ def _padded_primary_with_one(pk, primary_input) -> RingElem:
     return RingElem.stack([one] + list(primary_input) + [zero] * n_aux)
 
 
+@dataclass
+class ProcessedVerificationKey:
+    """io-independent precomputation (see rinocchio.ProcessedVerificationKey)."""
+
+    vk: VerificationKey
+    qrp: Any
+    alpha_beta: RingElem
+
+
+def verifier_process(vk: VerificationKey) -> ProcessedVerificationKey:
+    qrp = r1cs_to_qrp_instance_map_with_evaluation(
+        vk.pk.compiled, vk.s, vk.pk.domain
+    )
+    return ProcessedVerificationKey(vk=vk, qrp=qrp, alpha_beta=vk.alpha * vk.beta)
+
+
 def verifier(
     vk: VerificationKey,
     primary_input,
     proof: Proof,
 ) -> bool:
     """Verify (`groth16.tcc:117-170`): A*B = alpha*beta + gamma*f_io + delta*C."""
+    return online_verifier(verifier_process(vk), primary_input, proof)
+
+
+def online_verifier(
+    pvk: ProcessedVerificationKey,
+    primary_input,
+    proof: Proof,
+) -> bool:
+    vk = pvk.vk
     pk = vk.pk
     ctx = pk.params.ring
     enc_ctx = pk.params.enc
@@ -238,7 +264,7 @@ def verifier(
     B = decode(enc_ctx, vk.sk_enc, proof.B)
     C = decode(enc_ctx, vk.sk_enc, proof.C)
 
-    qrp = r1cs_to_qrp_instance_map_with_evaluation(pk.compiled, vk.s, domain)
+    qrp = pvk.qrp
 
     z_io = _padded_primary_with_one(pk, primary_input)
     az, bz, cz = pk.compiled.eval_matrices(z_io.res, num_rows=domain.m)
@@ -251,5 +277,5 @@ def verifier(
     f_io = (vk.beta * v_io + vk.alpha * w_io + y_io) / vk.gamma
 
     lhs = A * B
-    rhs = vk.alpha * vk.beta + vk.gamma * f_io + vk.delta * C
+    rhs = pvk.alpha_beta + vk.gamma * f_io + vk.delta * C
     return lhs == rhs

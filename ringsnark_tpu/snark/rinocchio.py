@@ -29,7 +29,8 @@ from ..utils.domain import RootsDomain
 from ..utils.poly_arr import eval_coeffs_at, ring_batch_scale
 from .api import KeyPair, SnarkParams
 
-__all__ = ["ProvingKey", "VerificationKey", "Proof", "generator", "prover", "verifier"]
+__all__ = ["ProvingKey", "VerificationKey", "ProcessedVerificationKey", "Proof",
+           "generator", "prover", "verifier", "verifier_process", "online_verifier"]
 
 
 @dataclass
@@ -248,13 +249,42 @@ def prover(
                  F=f_enc)
 
 
+@dataclass
+class ProcessedVerificationKey:
+    """io-independent verifier precomputation.
+
+    The reference *declares* processed-vk/online-verifier variants but never
+    implements them (`r1cs_ppzksnark.hpp:189-252`); here the O(M + nnz)
+    instance evaluation at s is done once and reused across verifications.
+    """
+
+    vk: VerificationKey
+    qrp: Any  # QRPInstanceEvaluation at s
+
+
+def verifier_process(vk: VerificationKey) -> ProcessedVerificationKey:
+    qrp = r1cs_to_qrp_instance_map_with_evaluation(
+        vk.pk.compiled, vk.s, vk.pk.domain
+    )
+    return ProcessedVerificationKey(vk=vk, qrp=qrp)
+
+
 def verifier(
     vk: VerificationKey,
-    primary_input: list,
+    primary_input,
     proof: Proof,
 ) -> bool:
     """Designated verifier (`rinocchio.tcc:193-295`): decode the proof
     elements and run the 6 checks."""
+    return online_verifier(verifier_process(vk), primary_input, proof)
+
+
+def online_verifier(
+    pvk: ProcessedVerificationKey,
+    primary_input,
+    proof: Proof,
+) -> bool:
+    vk = pvk.vk
     pk = vk.pk
     ctx = pk.params.ring
     enc_ctx = pk.params.enc
@@ -271,19 +301,18 @@ def verifier(
     aux_present = proof.F is not None
     L_beta = decode(enc_ctx, vk.sk_enc, proof.F) if aux_present else None
 
-    qrp = r1cs_to_qrp_instance_map_with_evaluation(pk.compiled, vk.s, domain)
+    qrp = pvk.qrp
 
     # L = beta (r_v V_mid + r_w W_mid + r_y Y_mid)
     Lc = (V_mid * vk.r_v + W_mid * vk.r_w + Y_mid * vk.r_y) * vk.beta
 
     # io polynomials: evaluate constraints on padded primary, interpolate,
     # evaluate at s (rinocchio.tcc:230-254) — all NTT/closed-form here.
-    one = RingElem.one(ctx)
-    zero = RingElem.zero(ctx)
-    n_aux = pk.constraint_system.auxiliary_input_size
-    z_io = RingElem.stack([one] + list(primary_input) + [zero] * n_aux)
-    az, bz, cz = pk.compiled.eval_matrices(z_io.res, num_rows=domain.m)
     from ..reductions.r1cs_to_qrp import _interp
+    from .groth16 import _padded_primary_with_one
+
+    z_io = _padded_primary_with_one(pk, primary_input)
+    az, bz, cz = pk.compiled.eval_matrices(z_io.res, num_rows=domain.m)
 
     v_io = eval_coeffs_at(RingElem(ctx, _interp(domain, az)), vk.s)
     w_io = eval_coeffs_at(RingElem(ctx, _interp(domain, bz)), vk.s)
