@@ -35,7 +35,7 @@ def inner_product_noise_bits(ectx: EncodingContext, terms: int) -> float:
     n_bits = math.log2(ectx.n_inner)
     fresh = t_bits + 7
     after_mul = fresh + n_bits + t_bits - 1
-    max_level = max(ectx.L_inner - 2, 0)
+    max_level = max(ectx.L_inner - ectx.floor_limbs, 0)
     noise = after_mul
     for _ in range(max_level):
         noise = max(noise - _LIMB_BITS, 0) + 1  # /Q_last ...
@@ -46,7 +46,7 @@ def inner_product_noise_bits(ectx: EncodingContext, terms: int) -> float:
 def budget_after_inner_product(ectx: EncodingContext, terms: int) -> float:
     """Remaining noise budget (bits) after the prover's inner products; must
     stay comfortably > 0 for decode to succeed."""
-    max_level = max(ectx.L_inner - 2, 0)
+    max_level = max(ectx.L_inner - ectx.floor_limbs, 0)
     q_bits = sum(p.bit_length() for p in ectx.level_primes(max_level))
     return q_bits - 2 - inner_product_noise_bits(ectx, terms)
 
