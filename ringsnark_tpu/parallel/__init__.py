@@ -7,7 +7,10 @@ new capability.  Axes:
   one-SEAL-context-per-limb becomes a sharded array axis);
 * ``data`` — CRS/witness batch axis: inner products do local
   multiply-accumulate and reduce with a psum inserted by GSPMD.
+* ``coeff`` — transform coefficient axis: butterfly stages exchange blocks
+  via ppermute (ntt_sharded.py), for transforms larger than one chip.
 """
 
 from .mesh import make_mesh, crs_sharding, ring_sharding, replicate  # noqa: F401
 from .sharded import shard_groth16_inputs, groth16_prove_sharded  # noqa: F401
+from .ntt_sharded import make_sharded_ntt, sharded_ntt  # noqa: F401
