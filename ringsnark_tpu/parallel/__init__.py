@@ -12,5 +12,10 @@ new capability.  Axes:
 """
 
 from .mesh import make_mesh, crs_sharding, ring_sharding, replicate  # noqa: F401
-from .sharded import shard_groth16_inputs, groth16_prove_sharded  # noqa: F401
+from .sharded import (  # noqa: F401
+    shard_groth16_inputs,
+    groth16_prove_sharded,
+    shard_rinocchio_inputs,
+    rinocchio_prove_sharded,
+)
 from .ntt_sharded import make_sharded_ntt, sharded_ntt  # noqa: F401

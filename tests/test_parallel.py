@@ -9,8 +9,12 @@ import jax
 from ringsnark_tpu.rings.context import default_context
 from ringsnark_tpu.encoding import EncodingContext
 from ringsnark_tpu.snark.api import SnarkParams
-from ringsnark_tpu.snark import groth16
-from ringsnark_tpu.parallel import make_mesh, groth16_prove_sharded
+from ringsnark_tpu.snark import groth16, rinocchio
+from ringsnark_tpu.parallel import (
+    make_mesh,
+    groth16_prove_sharded,
+    rinocchio_prove_sharded,
+)
 from ringsnark_tpu.models import build_toy_circuit
 from ringsnark_tpu.ops.primes import find_ntt_primes
 
@@ -56,3 +60,31 @@ def test_sharded_prover_matches_single_chip(env, n, limb):
         e1, e2 = getattr(proof_single, name), getattr(proof_sharded, name)
         assert e1 == e2, f"proof element {name} differs at mesh {n}x{limb}"
     assert groth16.verifier(kp.vk, pb.primary_input(), proof_sharded)
+
+
+@pytest.mark.parametrize("n,limb", [(4, 1), (8, 2)])
+def test_sharded_rinocchio_matches_single_chip(env, n, limb):
+    params, pb, kp = env
+    kpr = rinocchio.generator(
+        pb.get_constraint_system(), params,
+        np.random.default_rng(77), jax.random.PRNGKey(900),
+    )
+    # identical ZK randomness streams -> bit-identical proofs
+    proof_single = rinocchio.prover(
+        kpr.pk, pb.primary_input(), pb.auxiliary_input(),
+        rng=np.random.default_rng(5),
+    )
+    mesh = make_mesh(n, limb=limb)
+    proof_sharded = rinocchio_prove_sharded(
+        kpr.pk, pb.primary_input(), pb.auxiliary_input(), mesh,
+        rng=np.random.default_rng(5),
+    )
+    for name in ("A", "A_prime", "B", "B_prime", "C", "C_prime",
+                 "D", "D_prime", "F"):
+        e1 = getattr(proof_single, name)
+        e2 = getattr(proof_sharded, name)
+        if e1 is None:
+            assert e2 is None
+            continue
+        assert e1 == e2, f"proof element {name} differs at mesh {n}x{limb}"
+    assert rinocchio.verifier(kpr.vk, pb.primary_input(), proof_sharded)
