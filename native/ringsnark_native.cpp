@@ -14,6 +14,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 using u32 = uint32_t;
 using u64 = uint64_t;
 using u128 = unsigned __int128;
@@ -42,6 +46,25 @@ static u32 powmod(u32 a, u64 e, u32 p) {
 extern "C" {
 
 // ---- scalar modular arithmetic (oracle for ops/modops.py) -----------------
+
+// Thread control for the multi-core ("single-socket") baseline legs: the
+// reference is OpenMP-parallel, so honest vs-CPU ratios must be measured
+// against all cores as well as one (BASELINE.md "≥10x over single-socket").
+void rn_set_threads(int n) {
+#ifdef _OPENMP
+  omp_set_num_threads(n);
+#else
+  (void)n;
+#endif
+}
+
+int rn_get_max_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
 
 u32 rn_mulmod(u32 a, u32 b, u32 p) { return mulmod(a, b, p); }
 u32 rn_powmod(u32 a, u64 e, u32 p) { return powmod(a, e, p); }
@@ -123,6 +146,7 @@ static void dit_inverse(u32* x, const NttTables& t) {
 void rn_negacyclic_ntt(u32* data, u64 batch, u32 M, u32 p, u32 w, u32 psi) {
   NttTables t;
   make_tables(t, p, M, w, psi);
+#pragma omp parallel for schedule(static)
   for (u64 b = 0; b < batch; b++) {
     u32* x = data + b * M;
     for (u32 i = 0; i < M; i++) x[i] = mulmod(x[i], t.psi_pows[i], p);
@@ -134,6 +158,7 @@ void rn_negacyclic_ntt(u32* data, u64 batch, u32 M, u32 p, u32 w, u32 psi) {
 void rn_negacyclic_intt(u32* data, u64 batch, u32 M, u32 p, u32 w, u32 psi) {
   NttTables t;
   make_tables(t, p, M, w, psi);
+#pragma omp parallel for schedule(static)
   for (u64 b = 0; b < batch; b++) {
     u32* x = data + b * M;
     dit_inverse(x, t);
@@ -145,12 +170,14 @@ void rn_negacyclic_intt(u32* data, u64 batch, u32 M, u32 p, u32 w, u32 psi) {
 void rn_cyclic_ntt(u32* data, u64 batch, u32 M, u32 p, u32 w) {
   NttTables t;
   make_tables(t, p, M, w, 0);
+#pragma omp parallel for schedule(static)
   for (u64 b = 0; b < batch; b++) dif_forward(data + b * M, t);
 }
 
 void rn_cyclic_intt(u32* data, u64 batch, u32 M, u32 p, u32 w) {
   NttTables t;
   make_tables(t, p, M, w, 0);
+#pragma omp parallel for schedule(static)
   for (u64 b = 0; b < batch; b++) {
     u32* x = data + b * M;
     dit_inverse(x, t);
@@ -162,6 +189,7 @@ void rn_cyclic_intt(u32* data, u64 batch, u32 M, u32 p, u32 w) {
 // acc[j] += sum_b ct[b][j] * pt[b][j]  (one limb; lazy u128 accumulation)
 void rn_ip_accumulate(const u32* ct, const u32* pt, u32* acc, u64 batch,
                       u64 n, u32 p) {
+#pragma omp parallel for schedule(static)
   for (u64 j = 0; j < n; j++) {
     u128 s = acc[j];
     for (u64 b = 0; b < batch; b++) {

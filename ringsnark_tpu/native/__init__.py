@@ -15,6 +15,8 @@ import numpy as np
 
 __all__ = [
     "available",
+    "set_threads",
+    "max_threads",
     "mulmod",
     "powmod",
     "invmod",
@@ -58,11 +60,23 @@ def _lib():
     lib.rn_cyclic_ntt.argtypes = [pu32, u64, u32, u32, u32]
     lib.rn_cyclic_intt.argtypes = [pu32, u64, u32, u32, u32]
     lib.rn_ip_accumulate.argtypes = [pu32, pu32, pu32, u64, u64, u32]
+    lib.rn_set_threads.argtypes = [ctypes.c_int]
+    lib.rn_get_max_threads.restype = ctypes.c_int
     return lib
 
 
 def available() -> bool:
     return _lib() is not None
+
+
+def set_threads(n: int) -> None:
+    """Set the OpenMP thread count for the CPU baseline legs (1 = the
+    single-core leg; max_threads() = the 'single-socket' leg)."""
+    _lib().rn_set_threads(int(n))
+
+
+def max_threads() -> int:
+    return int(_lib().rn_get_max_threads())
 
 
 def _ptr(a: np.ndarray):

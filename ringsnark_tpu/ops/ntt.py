@@ -255,6 +255,23 @@ def negacyclic_intt_nat(y, plan: NTTPlan):
 import os as _os
 
 _NTT_BACKEND = _os.environ.get("RINGSNARK_NTT_BACKEND", "auto")
+
+
+def set_backend(name: str) -> str:
+    """Runtime routing override ('auto' | 'pallas' | 'xla').
+
+    Read at trace time: functions jit-compiled AFTER this call bake the
+    selected path (used by bench.py to time the true u64-emulating XLA path
+    against the Pallas kernel without a subprocess).  Returns the previous
+    value so callers can restore it.
+    """
+    global _NTT_BACKEND
+    assert name in ("auto", "pallas", "xla"), name
+    prev = _NTT_BACKEND
+    _NTT_BACKEND = name
+    return prev
+
+
 _PALLAS_TB = 8
 # VMEM estimate per call: 4 * Lc * M * (2*tb + 20) bytes; stay under ~12 MB
 _PALLAS_VMEM_WORDS = 3_000_000

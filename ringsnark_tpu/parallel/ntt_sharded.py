@@ -25,8 +25,6 @@ mesh axis; results are bit-identical to the single-device path.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -123,10 +121,17 @@ def make_sharded_ntt(plan: NTTPlan, mesh, axis: str = "coeff",
             return _inv_local(xl, plan, local_plan, D, axis, negacyclic)
         return _fwd_local(xl, plan, local_plan, D, axis)
 
+    # one shard_map wrapper per (ndim-derived) spec, so eager repeated calls
+    # hit JAX's trace cache instead of rebuilding the closure every time
+    _wrappers: dict = {}
+
     def call(x):
         sp = spec if spec is not None else P(*([None] * (x.ndim - 1) + [axis]))
         assert len(sp) and sp[-1] == axis, sp
-        f = jax.shard_map(body, mesh=mesh, in_specs=sp, out_specs=sp)
+        f = _wrappers.get(sp)
+        if f is None:
+            f = jax.shard_map(body, mesh=mesh, in_specs=sp, out_specs=sp)
+            _wrappers[sp] = f
         return f(x)
 
     return call
