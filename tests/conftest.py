@@ -9,6 +9,8 @@ knob before any backend initializes.
 
 import os
 
+import pytest
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,3 +21,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: exhaustive sweep / redundant parameterization; skipped unless "
+        "RINGSNARK_SLOW=1 (the default run keeps one representative case per "
+        "code path so `pytest tests/` stays under ~5 minutes)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RINGSNARK_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow sweep; set RINGSNARK_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

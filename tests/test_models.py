@@ -101,6 +101,7 @@ def test_plaintext_check_prove_verify():
     assert rinocchio.verifier(kp.vk, pb.primary_input(), proof)
 
 
+@pytest.mark.slow  # groth16 e2e already covered by test_logreg_prove_verify_groth16
 def test_ct_mul_prove_verify_groth16():
     params = _params(N=16)
     rng = np.random.default_rng(7)

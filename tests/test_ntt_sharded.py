@@ -29,7 +29,14 @@ def _mk(D, M=64, L=2, batch=3, seed=0, order=None):
     return ps, plan, x, mesh
 
 
-@pytest.mark.parametrize("D", [2, 4, 8])
+@pytest.mark.parametrize(
+    "D",
+    [
+        pytest.param(2, marks=pytest.mark.slow),
+        pytest.param(4, marks=pytest.mark.slow),
+        8,
+    ],
+)
 @pytest.mark.parametrize("negacyclic", [False, True])
 def test_sharded_forward_matches_single_device(D, negacyclic):
     ps, plan, x, mesh = _mk(D)
@@ -43,7 +50,7 @@ def test_sharded_forward_matches_single_device(D, negacyclic):
     assert (np.asarray(got) == np.asarray(want)).all()
 
 
-@pytest.mark.parametrize("D", [2, 8])
+@pytest.mark.parametrize("D", [pytest.param(2, marks=pytest.mark.slow), 8])
 @pytest.mark.parametrize("negacyclic", [False, True])
 def test_sharded_inverse_matches_and_roundtrips(D, negacyclic):
     ps, plan, x, mesh = _mk(D, seed=5)

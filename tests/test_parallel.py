@@ -47,7 +47,10 @@ def test_mesh_construction():
     assert mesh1.shape == {"limb": 1, "data": 1}
 
 
-@pytest.mark.parametrize("n,limb", [(1, 1), (4, 1), (8, 2)])
+@pytest.mark.parametrize(
+    "n,limb",
+    [(1, 1), pytest.param(4, 1, marks=pytest.mark.slow), (8, 2)],
+)
 def test_sharded_prover_matches_single_chip(env, n, limb):
     params, pb, kp = env
     proof_single = groth16.prover(kp.pk, pb.primary_input(), pb.auxiliary_input())
@@ -62,7 +65,9 @@ def test_sharded_prover_matches_single_chip(env, n, limb):
     assert groth16.verifier(kp.vk, pb.primary_input(), proof_sharded)
 
 
-@pytest.mark.parametrize("n,limb", [(4, 1), (8, 2)])
+@pytest.mark.parametrize(
+    "n,limb", [pytest.param(4, 1, marks=pytest.mark.slow), (8, 2)]
+)
 def test_sharded_rinocchio_matches_single_chip(env, n, limb):
     params, pb, kp = env
     kpr = rinocchio.generator(
