@@ -23,6 +23,10 @@ __all__ = [
     "load_proof",
     "save_groth16_pk",
     "load_groth16_pk",
+    "save_rinocchio_pk",
+    "load_rinocchio_pk",
+    "save_vk",
+    "load_vk",
     "save_secret_key",
     "load_secret_key",
     "context_to_json",
@@ -150,3 +154,106 @@ def load_groth16_pk(path: str):
         delta_mid=_enc_load("delta_mid", data, meta, ectx),
         delta_ts=_enc_load("delta_ts", data, meta, ectx),
     )
+
+
+_RINOCCHIO_PK_ENCS = (
+    "s_pows", "alpha_s_pows", "beta_prods", "beta_rv_ts", "beta_rw_ts",
+    "beta_ry_ts", "alpha_rv_ts", "alpha_rw_ts", "alpha_ry_ts",
+    "rv_vs", "rw_ws", "ry_ys",
+)
+
+
+def save_rinocchio_pk(path: str, pk, cs_path: str):
+    """Rinocchio CRS to npz (`rinocchio.hpp:10-58`; streaming declared but
+    unimplemented in the reference, `r1cs_ppzksnark.hpp:43-47`)."""
+    pk.constraint_system.save(cs_path)
+    store, meta = {}, {
+        "ctx": context_to_json(pk.params.enc),
+        "use_modswitch": pk.params.use_modswitch,
+        "cs_path": cs_path,
+    }
+    for name in _RINOCCHIO_PK_ENCS:
+        _enc_arrays(name, getattr(pk, name), store, meta)
+    np.savez_compressed(path, __meta__=json.dumps(meta), **store)
+
+
+def load_rinocchio_pk(path: str):
+    from ..relations.r1cs import R1CSConstraintSystem
+    from ..snark.api import SnarkParams
+    from ..snark.rinocchio import ProvingKey
+    from ..utils.domain import RootsDomain
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    ectx = context_from_json(meta["ctx"])
+    cs = R1CSConstraintSystem.load(meta["cs_path"], ectx.ring)
+    params = SnarkParams(
+        ring=ectx.ring, enc=ectx, use_modswitch=meta["use_modswitch"]
+    )
+    encs = {n: _enc_load(n, data, meta, ectx) for n in _RINOCCHIO_PK_ENCS}
+    return ProvingKey(
+        constraint_system=cs,
+        compiled=cs.compile(ectx.ring),
+        domain=RootsDomain(ectx.ring, max(cs.num_constraints(), 1)),
+        params=params,
+        **encs,
+    )
+
+
+_VK_RING_FIELDS = {
+    "groth16": ("s", "alpha", "beta", "gamma", "delta"),
+    "rinocchio": ("s", "alpha", "beta", "r_v", "r_w", "r_y"),
+}
+
+
+def save_vk(path: str, vk, pk_path: str, cs_path: str):
+    """Verification key (designated-verifier: trapdoor ring elements + the
+    encoding secret key) for either proof system; the embedded pk is saved to
+    `pk_path` and referenced.  Covers the abstract API's declared-but-never-
+    implemented vk streaming (`r1cs_ppzksnark.hpp:69-74`)."""
+    from ..snark import groth16 as _g16, rinocchio as _rin
+
+    if isinstance(vk, _g16.VerificationKey):
+        system = "groth16"
+        save_groth16_pk(pk_path, vk.pk, cs_path)
+    elif isinstance(vk, _rin.VerificationKey):
+        system = "rinocchio"
+        save_rinocchio_pk(pk_path, vk.pk, cs_path)
+    else:  # pragma: no cover - defensive
+        raise TypeError(f"unknown verification key type {type(vk)}")
+    fields = _VK_RING_FIELDS[system]
+    store = {name: np.asarray(getattr(vk, name).res) for name in fields}
+    sk = vk.sk_enc
+    store["sk_s_ntt"] = np.asarray(sk.s_ntt)
+    store["sk_s_coeffs"] = np.asarray(sk.s_coeffs)
+    meta = {
+        "system": system,
+        "pk_path": pk_path,
+        "ctx": context_to_json(vk.pk.params.enc),
+    }
+    np.savez_compressed(path, __meta__=json.dumps(meta), **store)
+
+
+def load_vk(path: str):
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    system = meta["system"]
+    ectx = context_from_json(meta["ctx"])
+    if system == "groth16":
+        from ..snark.groth16 import VerificationKey
+
+        pk = load_groth16_pk(meta["pk_path"])
+    else:
+        from ..snark.rinocchio import VerificationKey
+
+        pk = load_rinocchio_pk(meta["pk_path"])
+    elems = {
+        name: RingElem(ectx.ring, jnp.asarray(data[name]))
+        for name in _VK_RING_FIELDS[system]
+    }
+    sk = SecretKey(
+        ctx=ectx,
+        s_ntt=jnp.asarray(data["sk_s_ntt"]),
+        s_coeffs=data["sk_s_coeffs"],
+    )
+    return VerificationKey(pk=pk, sk_enc=sk, **elems)

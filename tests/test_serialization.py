@@ -77,3 +77,45 @@ def test_secret_key_roundtrip(env, tmp_path):
     ser.save_secret_key(path, kp.vk.sk_enc)
     sk2 = ser.load_secret_key(path)
     assert (np.asarray(sk2.s_ntt) == np.asarray(kp.vk.sk_enc.s_ntt)).all()
+
+
+def test_rinocchio_pk_roundtrip_and_reprove(env, tmp_path):
+    params, pb, _ = env
+    rng = np.random.default_rng(43)
+    kp = rinocchio.generator(
+        pb.get_constraint_system(), params, rng, jax.random.PRNGKey(402)
+    )
+    pk_path = str(tmp_path / "rpk.npz")
+    cs_path = str(tmp_path / "rcs.json")
+    ser.save_rinocchio_pk(pk_path, kp.pk, cs_path)
+    pk2 = ser.load_rinocchio_pk(pk_path)
+    assert pk2.s_pows == kp.pk.s_pows
+    assert pk2.alpha_s_pows == kp.pk.alpha_s_pows
+    assert pk2.beta_prods == kp.pk.beta_prods
+    # the loaded CRS proves, and the original vk verifies it
+    rng2 = np.random.default_rng(44)
+    proof = rinocchio.prover(pk2, pb.primary_input(), pb.auxiliary_input(), rng2)
+    assert rinocchio.verifier(kp.vk, pb.primary_input(), proof)
+
+
+@pytest.mark.parametrize("system", ["groth16", "rinocchio"])
+def test_vk_roundtrip_and_verify(env, tmp_path, system):
+    params, pb, g16_kp = env
+    rng = np.random.default_rng(45)
+    if system == "groth16":
+        kp = g16_kp
+        mod = groth16
+    else:
+        mod = rinocchio
+        kp = rinocchio.generator(
+            pb.get_constraint_system(), params, rng, jax.random.PRNGKey(403)
+        )
+    vk_path = str(tmp_path / "vk.npz")
+    pk_path = str(tmp_path / "pk.npz")
+    cs_path = str(tmp_path / "cs.json")
+    ser.save_vk(vk_path, kp.vk, pk_path, cs_path)
+    vk2 = ser.load_vk(vk_path)
+    assert vk2.s == kp.vk.s and vk2.alpha == kp.vk.alpha
+    proof = mod.prover(kp.pk, pb.primary_input(), pb.auxiliary_input(), rng)
+    # the RELOADED designated-verifier key must accept a fresh proof
+    assert mod.verifier(vk2, pb.primary_input(), proof)
