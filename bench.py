@@ -2,11 +2,15 @@
 
 Prints ONE JSON line:
   {"metric": "ntt_neg_8192_6limb", "value": <NTTs/s>, "unit": "ntt/s",
-   "vs_baseline": <ratio vs single-core CPU (numpy) same-algorithm baseline>}
+   "vs_baseline": <ratio vs MULTI-core (single-socket) native C++ baseline>}
 
 One NTT op = a full 6-limb negacyclic forward transform of one degree-8192
-polynomial (the BASELINE.md north-star kernel).  Secondary numbers go to
-stderr.
+polynomial (the BASELINE.md north-star kernel).  Legs timed separately and
+honestly (VERDICT r1 "missing #4/#5"):
+  * xla leg    — the true u64-emulating XLA path (set_backend("xla"))
+  * pallas leg — the Shoup-u32 Pallas kernel (set_backend("pallas"))
+  * cpu legs   — native C++ (OpenMP): 1 thread and all threads ("socket")
+Secondary numbers (roofline, per-leg timings) go to stderr.
 """
 
 import json
@@ -15,10 +19,16 @@ import time
 
 import numpy as np
 
+# v5e per-chip peaks used for the roofline percentages (public numbers:
+# jax-ml.github.io/scaling-book; HBM ~819 GB/s).  The kernel is VPU-bound:
+# butterfly int ops vs ~4e11 u32 op/s is the speed-of-light estimate.
+HBM_GBPS = 819.0
+VPU_U32_OPS = 4.0e11
+
 
 def _numpy_ntt_baseline(plan, x, iters=3):
-    """Single-core same-algorithm numpy NTT (the CPU stand-in baseline; the
-    reference's SEAL submodules are empty and cannot be built)."""
+    """Single-core same-algorithm numpy NTT (fallback when the native C++
+    library is unavailable)."""
     p = plan.p.astype(np.uint64)  # [L, 1]
     M = plan.M
 
@@ -49,6 +59,7 @@ def main():
     import jax.numpy as jnp
     from ringsnark_tpu.ops import ntt as nttm
     from ringsnark_tpu.ops.primes import find_ntt_primes
+    from ringsnark_tpu.utils.profiling import ntt_roofline
 
     N = 8192
     L = 6
@@ -65,102 +76,123 @@ def main():
     ).astype(np.uint32)  # [BATCH, L, N]
 
     dev = jax.devices()[0]
+    on_tpu = jax.default_backend() == "tpu"
     print(f"[bench] device: {dev}", file=sys.stderr, flush=True)
 
-    fwd = jax.jit(lambda v: nttm.negacyclic_ntt_rev(v, plan))
-    x = jax.device_put(jnp.asarray(x_np), dev)
-    t0 = time.perf_counter()
-    out = fwd(x).block_until_ready()  # compile
-    print(f"[bench] compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
-
-    # timing: chain REP dependent applications inside one jit — per-call
-    # relay/dispatch latency otherwise dominates on this tunnel.
     REP = 10
 
-    @jax.jit
-    def chain(v):
-        for _ in range(REP):
-            v = nttm.negacyclic_ntt_rev(v, plan)
-        return v
+    def make_chain(backend):
+        """Chained dependent NTTs under one jit with the given routing baked
+        in at trace time (per-call relay latency otherwise dominates)."""
+        prev = nttm.set_backend(backend)
 
-    t0 = time.perf_counter()
-    chained = chain(x).block_until_ready()  # compile + warm
-    print(f"[bench] chain compile: {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr, flush=True)
-    # verify the chain really computes REP sequential NTTs
-    check = x
-    for _ in range(REP):
-        check = fwd(check)
-    assert (np.asarray(chained) == np.asarray(check)).all(), "chain mismatch"
+        @jax.jit
+        def chain(v):
+            for _ in range(REP):
+                v = nttm.negacyclic_ntt_rev(v, plan)
+            return v
 
-    def best_of(f, n=3):
+        x = jnp.asarray(x_np)
+        t0 = time.perf_counter()
+        res = chain(x).block_until_ready()  # compile + warm
+        compile_s = time.perf_counter() - t0
+        nttm.set_backend(prev)
+        return chain, res, compile_s
+
+    def best_of(f, x, n=3):
         times = []
         for _ in range(n):
             t0 = time.perf_counter()
-            f().block_until_ready()
+            f(x).block_until_ready()
             times.append((time.perf_counter() - t0) / REP)
         return min(times)
 
-    dt = best_of(lambda: chain(x))
-    print(f"[bench] xla path: {dt*1e6:.1f} us/batch", file=sys.stderr, flush=True)
+    x = jnp.asarray(x_np)
 
-    # Pallas kernel (Shoup u32 butterflies, grid-free)
-    try:
-        from ringsnark_tpu.ops import pallas_ntt as pntt
+    # --- XLA leg (true u64-emulation path) ----------------------------------
+    chain_x, out_x, comp_s = make_chain("xla")
+    print(f"[bench] xla compile: {comp_s:.1f}s", file=sys.stderr, flush=True)
+    dt_xla = best_of(chain_x, x)
+    print(f"[bench] xla path: {dt_xla*1e6:.1f} us/batch", file=sys.stderr, flush=True)
+    dt = dt_xla
 
-        tables = pntt.get_pallas_tables(primes, N)
+    # --- Pallas leg ----------------------------------------------------------
+    dt_pallas = None
+    if on_tpu:
+        try:
+            chain_p, out_p, comp_s = make_chain("pallas")
+            assert (np.asarray(out_p) == np.asarray(out_x)).all(), "pallas mismatch"
+            print(f"[bench] pallas compile: {comp_s:.1f}s", file=sys.stderr, flush=True)
+            dt_pallas = best_of(chain_p, x)
+            print(
+                f"[bench] pallas kernel: {dt_pallas*1e6:.1f} us/batch "
+                f"({dt_xla/dt_pallas:.1f}x vs xla)",
+                file=sys.stderr, flush=True,
+            )
+            dt = min(dt, dt_pallas)
+        except Exception as e:  # pallas unavailable
+            print(
+                f"[bench] pallas kernel skipped: {type(e).__name__}: {str(e)[:200]}",
+                file=sys.stderr, flush=True,
+            )
 
-        @jax.jit
-        def chain_p(v):
-            for _ in range(REP):
-                v = pntt.negacyclic_ntt_rev_pallas(v, tables, 8)
-            return v
-
-        got = pntt.negacyclic_ntt_rev_pallas(x, tables, 8).block_until_ready()
-        assert (np.asarray(got) == np.asarray(out)).all(), "pallas mismatch"
-        chain_p(x).block_until_ready()
-        dt_p = best_of(lambda: chain_p(x))
-        print(
-            f"[bench] pallas kernel: {dt_p*1e6:.1f} us/batch "
-            f"({dt/dt_p:.1f}x vs xla)",
-            file=sys.stderr, flush=True,
-        )
-        dt = min(dt, dt_p)
-    except Exception as e:  # pallas unavailable (e.g. CPU-only run)
-        print(f"[bench] pallas kernel skipped: {type(e).__name__}: {str(e)[:200]}",
-              file=sys.stderr, flush=True)
     ntts_per_s = BATCH / dt
     print(
         f"[bench] tpu: {dt*1e3:.2f} ms / batch of {BATCH} -> {ntts_per_s:.1f} ntt/s",
         file=sys.stderr, flush=True,
     )
 
-    # CPU single-core baseline: native C++ (the SEAL-equivalent scalar code),
-    # falling back to same-algorithm numpy.
+    # roofline: the dominant cost is VPU u32 butterfly work; the HBM floor is
+    # one read+write of the batch if all stages stay VMEM-resident.
+    rl = ntt_roofline(N, L, BATCH, dt)
+    min_bytes = BATCH * L * N * 4 * 2
+    hbm_floor_s = min_bytes / (HBM_GBPS * 1e9)
+    vpu_floor_s = rl["int_ops"] / VPU_U32_OPS
+    print(
+        f"[bench] roofline: {rl['int_ops_per_s']/1e9:.1f} Gop/s u32 "
+        f"({100*rl['int_ops_per_s']/VPU_U32_OPS:.1f}% of ~{VPU_U32_OPS/1e12:.1f} Top/s VPU), "
+        f"stage traffic {rl['achieved_GBps']:.0f} GB/s; "
+        f"floors: vpu {vpu_floor_s*1e6:.0f} us, hbm {hbm_floor_s*1e6:.0f} us/batch",
+        file=sys.stderr, flush=True,
+    )
+
+    # --- CPU baselines: native C++ (OpenMP), 1 thread and all threads -------
     base_batch = 4
     from ringsnark_tpu import native
 
-    if native.available():
+    def run_native(threads):
+        native.set_threads(threads)
         base_out = np.empty((base_batch, L, N), dtype=np.uint32)
         t0 = time.perf_counter()
         for l, p in enumerate(primes):
             base_out[:, l, :] = native.negacyclic_ntt(
                 x_np[:base_batch, l, :], p, plan.w_np[l], int(plan.psi[l, 1])
             )
-        base_dt = time.perf_counter() - t0
-        base_kind = "native-cpp"
+        return time.perf_counter() - t0, base_out
+
+    if native.available():
+        dt_1core, base_out = run_native(1)
+        n_thr = native.max_threads()
+        dt_socket, _ = run_native(n_thr)
+        dt_socket = min(dt_socket, run_native(n_thr)[0])  # warm re-run
+        base_kind = f"native-cpp ({n_thr} threads)"
     else:
-        base_dt, base_out = _numpy_ntt_baseline(plan, x_np[:base_batch])
-        base_kind = "numpy"
-    base_ntts_per_s = base_batch / base_dt
+        dt_1core, base_out = _numpy_ntt_baseline(plan, x_np[:base_batch])
+        dt_socket, n_thr, base_kind = dt_1core, 1, "numpy"
+    ntts_1core = base_batch / dt_1core
+    ntts_socket = base_batch / dt_socket
     print(
-        f"[bench] cpu 1-core baseline ({base_kind}): {base_ntts_per_s:.1f} ntt/s",
+        f"[bench] cpu 1-core: {ntts_1core:.1f} ntt/s; "
+        f"socket [{base_kind}]: {ntts_socket:.1f} ntt/s",
         file=sys.stderr, flush=True,
     )
-    # cross-check correctness vs the baseline
-    assert (np.asarray(out[:base_batch]) == base_out.astype(np.uint32)).all(), (
-        "TPU NTT result mismatch vs CPU baseline"
+    # cross-check correctness vs the baseline (single transform, xla path)
+    nttm.set_backend("xla")
+    one = jax.jit(lambda v: nttm.negacyclic_ntt_rev(v, plan))(
+        jnp.asarray(x_np[:base_batch])
     )
+    nttm.set_backend("auto")
+    assert (np.asarray(one) == base_out).all(), "TPU NTT mismatch vs CPU baseline"
 
     print(
         json.dumps(
@@ -168,7 +200,12 @@ def main():
                 "metric": "ntt_neg_8192_6limb",
                 "value": round(ntts_per_s, 2),
                 "unit": "ntt/s",
-                "vs_baseline": round(ntts_per_s / base_ntts_per_s, 2),
+                "vs_baseline": round(ntts_per_s / ntts_socket, 2),
+                "vs_1core": round(ntts_per_s / ntts_1core, 2),
+                "xla_us": round(dt_xla * 1e6, 1),
+                "pallas_us": None if dt_pallas is None else round(dt_pallas * 1e6, 1),
+                "cpu_threads": n_thr,
+                "vpu_roofline_pct": round(100 * rl["int_ops_per_s"] / VPU_U32_OPS, 2),
             }
         ),
         flush=True,

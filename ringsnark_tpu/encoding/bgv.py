@@ -63,7 +63,20 @@ def _lift_centered(ctx: EncodingContext, pt_coeffs, level: int):
 
 
 def plain_to_inner_ntt(ctx: EncodingContext, slots, level: int = 0):
-    """Outer slot values -> inner-NTT plaintext operand [*, L, L'_lvl, N']."""
+    """Outer slot values -> inner-NTT plaintext operand [*, L, L'_lvl, N'].
+
+    Scalar fast path (N == 1, the Z_q integer backend): the value is encoded
+    as the CONSTANT polynomial (all inner slots equal) instead of the
+    slot-0 embedding.  The NTT form of a constant is the constant itself, so
+    the prover's ct x pt hot loop needs ZERO transforms per term — the
+    per-term plaintext-NTT storm that dominates the reference's
+    `multiply_plain` (`seal_int/seal_ring.tcc:108-121`) disappears, and the
+    noise growth factor drops from ~N'*t/2 (dense poly) to |v| <= t/2.
+    Decode is unchanged: every slot of the result carries the value.
+    """
+    if ctx.ring.N == 1 and slots.shape[-1] == 1:
+        lifted = _lift_centered(ctx, slots, level)  # [*, L, L', 1]
+        return jnp.broadcast_to(lifted, (*lifted.shape[:-1], ctx.n_inner))
     coeffs = _slots_to_plain_coeffs(ctx, slots)
     lifted = _lift_centered(ctx, coeffs, level)
     return _ntt.negacyclic_ntt_rev(lifted, ctx.inner_plan(level))

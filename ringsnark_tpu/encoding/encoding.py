@@ -154,47 +154,32 @@ def inner_product(
 ) -> Encoding:
     """sum_i E_i * r_i over the leading batch axis.
 
-    Mirrors the reference's staged-modswitch schedule
-    (`seal_ring.tcc:361-433`): each term is switched once after the
-    plain-multiply, and the running sum is switched at `num_moduli - 2`
-    evenly spaced checkpoints.  Batched version: terms are grouped into
-    segments by how many total switches they need so every partial sum is
-    performed at a uniform level (the reference's sequential version would
-    add mismatched-level ciphertexts — see DESIGN.md §7).
+    Deviation from the reference's staged-modswitch schedule
+    (`seal_ring.tcc:361-433`, which switches every TERM once after its
+    plain-multiply plus the running sum at checkpoints): here the whole
+    batch is multiply-accumulated at level 0 and only the FINAL sum is
+    switched down to the floor.  This dominates on both axes (DESIGN.md §7):
+
+    * noise — per-term switching yields B*(e/Q_drop + e_switch); switching
+      the sum yields B*e/Q_drop + e_switch, i.e. the switch-rounding noise
+      enters once instead of B times;
+    * compute — the per-term switch costs ~2*L' NTTs per term (the round-1
+      prover's dominant cost at scale); switching one ciphertext is
+      O(L'*N' log N') TOTAL, so the hot loop is a pure multiply-accumulate.
+
+    The result level equals the reference schedule's (the floor), so proof
+    sizes match.  The lazy u64 accumulation is exact and order-independent,
+    making the sum bit-identical under any 'data'-axis sharding.
     """
     ctx = a.ctx
     B = len(a)
     assert b.res.shape[0] == B
+    acc = (a * b).sum_batch()
+    if not use_modswitch:
+        return acc
     # With 31-bit limbs and a 31-bit plain modulus, at least `floor_limbs`
     # (>= 2) limbs must remain for noise headroom; the deepest usable level:
     max_level = max(ctx.L_inner - ctx.floor_limbs, 0)
-    if not use_modswitch or max_level == 0:
-        return (a * b).sum_batch()
-
-    # per-term switch (1) + accumulator checkpoints (max_level - 1), evenly
-    # spaced — the shape of the reference schedule (`seal_ring.tcc:385-431`)
-    # bounded to the 2-limb floor.
-    num_acc_switches = max_level - 1
-    if num_acc_switches == 0:
-        bounds = [B]
-    else:
-        delta = max(B // (num_acc_switches + 1), 1)
-        bounds = [min(delta * (i + 1), B) for i in range(num_acc_switches)] + [B]
-    acc: Encoding | None = None
-    start = 0
-    for seg_idx, end in enumerate(bounds):
-        if end > start:
-            seg = (a[start:end] * b[start:end]).modswitch()  # per-term switch
-            seg_sum = seg.sum_batch()
-            while acc is not None and seg_sum.level < acc.level:
-                seg_sum = seg_sum.modswitch()
-            acc = seg_sum if acc is None else acc + seg_sum
-        start = end
-        if (
-            seg_idx < len(bounds) - 1
-            and acc is not None
-            and acc.level < max_level
-        ):
-            acc = acc.modswitch()
-    assert acc is not None
+    for _ in range(max_level):
+        acc = acc.modswitch()
     return acc

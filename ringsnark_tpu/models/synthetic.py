@@ -11,6 +11,7 @@ Circuit: independent multiplication gates x_{3i} * x_{3i+1} = x_{3i+2}
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..relations.r1cs import CompiledR1CS
@@ -18,7 +19,7 @@ from ..rings.context import RingContext
 from ..rings.elem import RingElem
 from ..ops.modops import mul_mod
 
-__all__ = ["build_synthetic_mul_chain"]
+__all__ = ["build_synthetic_mul_chain", "build_synthetic_square_chain"]
 
 
 def build_synthetic_mul_chain(
@@ -71,4 +72,51 @@ def build_synthetic_mul_chain(
     )
     primary = RingElem(ctx, jnp.asarray(assign[:primary_size]))
     auxiliary = RingElem(ctx, jnp.asarray(assign[primary_size:]))
+    return comp, primary, auxiliary
+
+
+def build_synthetic_square_chain(
+    ctx: RingContext,
+    num_constraints: int,
+    rng: np.random.Generator,
+    num_public: int = 1,
+):
+    """Returns (compiled_r1cs, primary, auxiliary) for the squaring chain
+    x_{i+1} * x_{i+1} = x_{i+2} (constraint i, 0-based; variables 1-based).
+
+    The CRS-minimal prover benchmark shape: num_variables = M + 1 (vs 3M for
+    the mul chain), so the groth16 CRS is ~3(M+1) encodings — what makes
+    2^16+ constraints HBM-resident on one chip (DESIGN.md §8).
+    """
+    m = num_constraints
+    nv = m + 1
+    rows = np.arange(m, dtype=np.int32)
+    cols_a = (rows + 1).astype(np.int32)
+    cols_c = (rows + 2).astype(np.int32)
+    ones = jnp.ones((m, ctx.L, 1), dtype=jnp.uint32)
+
+    n = ctx.N
+    assign = np.empty((nv, ctx.L, n), dtype=np.uint32)
+    assign[0] = np.stack(
+        [rng.integers(0, p, n, dtype=np.uint64) for p in ctx.primes]
+    ).astype(np.uint32)
+    p, mu, pb = ctx.p, ctx.mu, ctx.pbits
+
+    def step(x, _):
+        nx = mul_mod(x, x, p, mu, pb)
+        return nx, nx
+
+    _, ys = jax.lax.scan(step, jnp.asarray(assign[0]), None, length=nv - 1)
+    assign[1:] = np.asarray(ys)
+    comp = CompiledR1CS(
+        ctx=ctx,
+        num_constraints=m,
+        num_variables=nv,
+        primary_input_size=num_public,
+        rows=(jnp.asarray(rows), jnp.asarray(rows), jnp.asarray(rows)),
+        cols=(jnp.asarray(cols_a), jnp.asarray(cols_a), jnp.asarray(cols_c)),
+        coeffs=(ones, ones, ones),
+    )
+    primary = RingElem(ctx, jnp.asarray(assign[:num_public]))
+    auxiliary = RingElem(ctx, jnp.asarray(assign[num_public:]))
     return comp, primary, auxiliary

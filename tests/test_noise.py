@@ -31,8 +31,14 @@ def _ectx(floor=2, L_inner=4):
 
 def test_estimator_monotonic_in_terms():
     e = _ectx()
-    assert inner_product_noise_bits(e, 1024) > inner_product_noise_bits(e, 16)
-    assert budget_after_inner_product(e, 16) > budget_after_inner_product(e, 1024)
+    # sum-then-switch: post-switch noise is non-decreasing in terms, and the
+    # /Q of the dropped limbs absorbs the batch factor entirely once the sum
+    # fits — so compare at level 0 (floor = L_inner, no switches) for strict
+    # monotonicity.
+    assert inner_product_noise_bits(e, 1024) >= inner_product_noise_bits(e, 16)
+    e0 = _ectx(floor=4)
+    assert inner_product_noise_bits(e0, 1024) > inner_product_noise_bits(e0, 16)
+    assert budget_after_inner_product(e0, 16) > budget_after_inner_product(e0, 1024)
 
 
 def test_plan_inner_chain_reasonable():
