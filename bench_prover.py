@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--phased", action="store_true",
                     help="generate+consume one CRS batch at a time (2^18)")
     ap.add_argument("--prng", choices=["threefry2x32", "rbg"], default="rbg")
+    ap.add_argument("--margin", type=int, default=10,
+                    help="noise planner margin bits (worst-case headroom; "
+                         "7 fits 2^16 and 5 fits 2^18 in L'=3 at N'=4096 — "
+                         "validated empirically in tests/test_noise.py)")
     ap.add_argument("--cpu-slabs", type=int, default=4,
                     help="slabs to sample for the native CPU baseline")
     ap.add_argument("--skip-cpu", action="store_true")
@@ -73,7 +77,7 @@ def main():
     ring = default_context(L=args.L, N=N, order=order)
 
     L_inner, floor = plan_inner_chain(
-        args.n_inner, 31, M + 1, dense=(N > 1)
+        args.n_inner, 31, M + 1, margin_bits=args.margin, dense=(N > 1)
     )
     inner, below = [], 1 << 31
     while len(inner) < L_inner:

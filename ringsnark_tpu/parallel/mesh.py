@@ -9,12 +9,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "crs_sharding", "ring_sharding", "replicate"]
 
 
-def make_mesh(n_devices: int | None = None, limb: int = 1, devices=None) -> Mesh:
-    """('limb', 'data') mesh.  limb divides n_devices; data gets the rest."""
+def make_mesh(
+    n_devices: int | None = None, limb: int = 1, coeff: int = 1, devices=None
+) -> Mesh:
+    """('limb', 'data') mesh — or ('limb', 'coeff', 'data') when coeff > 1.
+
+    limb * coeff must divide n_devices; 'data' gets the rest.  The 'coeff'
+    axis carries the witness map's NTT coefficient sharding
+    (parallel/witness_sharded.py); 'data' carries the CRS batch; 'limb' the
+    independent outer RNS channels."""
     devices = devices if devices is not None else jax.devices()
     n = n_devices if n_devices is not None else len(devices)
     assert n <= len(devices), f"need {n} devices, have {len(devices)}"
-    assert n % limb == 0
+    assert n % (limb * coeff) == 0
+    if coeff > 1:
+        arr = np.array(devices[:n]).reshape(limb, coeff, n // (limb * coeff))
+        return Mesh(arr, ("limb", "coeff", "data"))
     arr = np.array(devices[:n]).reshape(limb, n // limb)
     return Mesh(arr, ("limb", "data"))
 

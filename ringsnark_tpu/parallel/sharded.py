@@ -68,6 +68,10 @@ def groth16_prove_sharded(pk, primary_input, auxiliary_input, mesh):
 
     Same jitted graph as the single-chip path — GSPMD partitions it from the
     input shardings (mesh of 1 == single-chip semantics, bit-identical).
+    On a mesh with a 'coeff' axis the witness map's M/2M NTTs additionally
+    run coefficient-sharded (parallel/witness_sharded.py) before the
+    inner-product graph; the proof stays bit-identical (the sharded NTT is
+    bit-exact vs one device).
     """
     ctx = pk.params.ring
     ectx = pk.params.enc
@@ -83,9 +87,22 @@ def groth16_prove_sharded(pk, primary_input, auxiliary_input, mesh):
         if auxiliary_input
         else None
     )
-    A, B, C = groth16_core(
-        pk.compiled, crs, z_full, z_io, z_mid, aux_arr, pk.domain, ectx, ums
-    )
+    if "coeff" in mesh.axis_names and pk.domain.m >= 2 * mesh.shape["coeff"]:
+        from ..ops.modops import add_mod
+        from ..snark.pipeline import groth16_ip_core
+        from .witness_sharded import make_witness_map_sharded
+
+        wmap = make_witness_map_sharded(pk.compiled, pk.domain, mesh)
+        (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = wmap(z_full, z_io, z_mid)
+        a_full = add_mod(a_io, a_mid, ctx.p)
+        b_full = add_mod(b_io, b_mid, ctx.p)
+        A, B, C = groth16_ip_core(
+            crs, a_full, b_full, H, aux_arr, pk.domain.m, ectx, ums
+        )
+    else:
+        A, B, C = groth16_core(
+            pk.compiled, crs, z_full, z_io, z_mid, aux_arr, pk.domain, ectx, ums
+        )
     from ..snark.groth16 import Proof
 
     la, lb, lc = groth16_proof_levels(ectx, ums)

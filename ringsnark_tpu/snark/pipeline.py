@@ -25,7 +25,8 @@ from ..relations.r1cs import CompiledR1CS
 from ..rings.elem import RingElem
 from ..utils.domain import RootsDomain
 
-__all__ = ["groth16_core", "groth16_proof_levels", "rinocchio_core", "PAD_QUANTUM"]
+__all__ = ["groth16_core", "groth16_ip_core", "groth16_proof_levels",
+           "rinocchio_core", "PAD_QUANTUM"]
 
 # Inner-product batches are zero-padded to a multiple of this so the batch
 # axis is evenly shardable over the 'data' mesh axis (zero coefficients make
@@ -58,6 +59,47 @@ def groth16_proof_levels(ectx: EncodingContext, use_modswitch: bool):
     return (lvl, lvl, lvl)
 
 
+@partial(jax.jit, static_argnames=("M", "ectx", "ums"))
+def groth16_ip_core(
+    crs: dict,
+    a_full, b_full, H,
+    aux_values,
+    M: int,
+    ectx: EncodingContext,
+    ums: bool,
+):
+    """The inner-product half of the prover (post witness map) as one jitted
+    graph — shared by the single-chip core and the coeff-sharded prover
+    (which runs its witness map under a shard_map first)."""
+    ctx = ectx.ring
+    B = _pad_len(M + 1)
+
+    def enc(pair, n: int):
+        c0, c1 = pair
+        return Encoding(ectx, _pad_batch(c0, n), _pad_batch(c1, n), 0)
+
+    def ip(e, arr, n):
+        return inner_product(
+            e, RingElem(ctx, _pad_batch(arr, n)), use_modswitch=ums
+        )
+
+    sp = enc(crs["s_pows"], B)
+    alpha_1 = Encoding(ectx, crs["alpha"][0], crs["alpha"][1], 0)
+    beta_1 = Encoding(ectx, crs["beta"][0], crs["beta"][1], 0)
+    a_enc = ip(sp, a_full, B) + alpha_1
+    b_enc = ip(sp, b_full, B) + beta_1
+    c_enc = ip(enc(crs["delta_ts"], B), H, B)
+    if aux_values is not None and aux_values.shape[0] > 0:
+        Ba = _pad_len(aux_values.shape[0])
+        c_enc = c_enc + ip(enc(crs["delta_mid"], Ba), aux_values, Ba)
+
+    return (
+        (a_enc.c0, a_enc.c1),
+        (b_enc.c0, b_enc.c1),
+        (c_enc.c0, c_enc.c1),
+    )
+
+
 @partial(jax.jit, static_argnames=("domain", "ectx", "ums"))
 def groth16_core(
     comp: CompiledR1CS,
@@ -80,37 +122,12 @@ def groth16_core(
     (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = _witness_map_kernel(
         comp, z_full, z_io, z_mid, zero, zero, zero, domain
     )
-    M = domain.m
-    B = _pad_len(M + 1)
-
-    def enc(pair, n: int):
-        c0, c1 = pair
-        return Encoding(ectx, _pad_batch(c0, n), _pad_batch(c1, n), 0)
-
-    def ip(e, arr, n):
-        return inner_product(
-            e, RingElem(ctx, _pad_batch(arr, n)), use_modswitch=ums
-        )
-
     from ..ops.modops import add_mod
 
     a_full = add_mod(a_io, a_mid, ctx.p)
     b_full = add_mod(b_io, b_mid, ctx.p)
-
-    sp = enc(crs["s_pows"], B)
-    alpha_1 = Encoding(ectx, crs["alpha"][0], crs["alpha"][1], 0)
-    beta_1 = Encoding(ectx, crs["beta"][0], crs["beta"][1], 0)
-    a_enc = ip(sp, a_full, B) + alpha_1
-    b_enc = ip(sp, b_full, B) + beta_1
-    c_enc = ip(enc(crs["delta_ts"], B), H, B)
-    if aux_values is not None and aux_values.shape[0] > 0:
-        Ba = _pad_len(aux_values.shape[0])
-        c_enc = c_enc + ip(enc(crs["delta_mid"], Ba), aux_values, Ba)
-
-    return (
-        (a_enc.c0, a_enc.c1),
-        (b_enc.c0, b_enc.c1),
-        (c_enc.c0, c_enc.c1),
+    return groth16_ip_core(
+        crs, a_full, b_full, H, aux_values, domain.m, ectx, ums
     )
 
 

@@ -65,6 +65,23 @@ def test_sharded_prover_matches_single_chip(env, n, limb):
     assert groth16.verifier(kp.vk, pb.primary_input(), proof_sharded)
 
 
+def test_coeff_sharded_prover_matches_single_chip(env):
+    """('limb','coeff','data') mesh: the witness map's M/2M NTTs run
+    coefficient-sharded (parallel/witness_sharded.py) and the proof is still
+    bit-identical to the single-chip prover (SURVEY §2.3 row 6)."""
+    params, pb, kp = env
+    proof_single = groth16.prover(kp.pk, pb.primary_input(), pb.auxiliary_input())
+    mesh = make_mesh(8, limb=2, coeff=2)
+    assert mesh.shape == {"limb": 2, "coeff": 2, "data": 2}
+    proof_sharded = groth16_prove_sharded(
+        kp.pk, pb.primary_input(), pb.auxiliary_input(), mesh
+    )
+    for name in ("A", "B", "C"):
+        e1, e2 = getattr(proof_single, name), getattr(proof_sharded, name)
+        assert e1 == e2, f"proof element {name} differs on the coeff mesh"
+    assert groth16.verifier(kp.vk, pb.primary_input(), proof_sharded)
+
+
 @pytest.mark.parametrize(
     "n,limb", [pytest.param(4, 1, marks=pytest.mark.slow), (8, 2)]
 )
