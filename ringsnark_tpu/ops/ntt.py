@@ -275,6 +275,12 @@ def set_backend(name: str) -> str:
 _PALLAS_TB = 8
 # VMEM estimate per call: 4 * Lc * M * (2*tb + 20) bytes; stay under ~12 MB
 _PALLAS_VMEM_WORDS = 3_000_000
+# Largest M the grid-free single-program kernel can hold: the Mosaic scoped-
+# VMEM stack grows ~linearly with M (measured: 37.4 MB at M=131072 vs the
+# 16 MB limit => ~9.4 MB at 32768).  Above this, route through the split
+# (outer-stages + folded inner batch) path with inner size _SPLIT_MI.
+_GRIDFREE_MAX_M = int(_os.environ.get("RINGSNARK_PALLAS_MAX_GRIDFREE_M", 32768))
+_SPLIT_MI = int(_os.environ.get("RINGSNARK_PALLAS_SPLIT_MI", 16384))
 
 
 def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
@@ -297,12 +303,16 @@ def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
             return None  # tables need the negacyclic root even for cyclic use
     from . import pallas_ntt as _pn
 
-    fn = {
-        (False, True): _pn.negacyclic_ntt_rev_pallas,
-        (True, True): _pn.negacyclic_intt_nat_pallas,
-        (False, False): _pn.cyclic_ntt_rev_pallas,
-        (True, False): _pn.cyclic_intt_nat_pallas,
-    }[(inverse, negacyclic)]
+    split = M > _GRIDFREE_MAX_M
+    if split and M % _SPLIT_MI:
+        return None
+    if not split:
+        fn = {
+            (False, True): _pn.negacyclic_ntt_rev_pallas,
+            (True, True): _pn.negacyclic_intt_nat_pallas,
+            (False, False): _pn.cyclic_ntt_rev_pallas,
+            (True, False): _pn.cyclic_intt_nat_pallas,
+        }[(inverse, negacyclic)]
 
     L = x.shape[-2]
     assert L == len(plan.primes)
@@ -316,12 +326,22 @@ def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
         xr = jnp.pad(xr, ((0, pad), (0, 0), (0, 0)))
 
     # chunk the limb axis so tables + buffers fit VMEM
-    max_lc = max(1, _PALLAS_VMEM_WORDS // (M * (2 * _PALLAS_TB + 20)))
+    m_eff = _SPLIT_MI if split else M
+    max_lc = max(1, _PALLAS_VMEM_WORDS // (m_eff * (2 * _PALLAS_TB + 20)))
     outs = []
     for lo in range(0, L, max_lc):
         sub = tuple(plan.primes[lo : lo + max_lc])
-        tables = _pn.get_pallas_tables(sub, M)
-        outs.append(fn(xr[:, lo : lo + max_lc, :], tables, _PALLAS_TB))
+        if split:
+            tables = _pn.get_split_tables(sub, M, _SPLIT_MI)
+            outs.append(
+                _pn.ntt_split_pallas(
+                    xr[:, lo : lo + max_lc, :], tables, _PALLAS_TB,
+                    inverse=inverse, negacyclic=negacyclic,
+                )
+            )
+        else:
+            tables = _pn.get_pallas_tables(sub, M)
+            outs.append(fn(xr[:, lo : lo + max_lc, :], tables, _PALLAS_TB))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     if pad:
         out = out[:B0]

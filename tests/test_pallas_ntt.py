@@ -59,6 +59,47 @@ def test_pallas_ntt_matches_xla(M):
     assert (got == want).all()
 
 
+@pytest.mark.parametrize("M,Mi", [(2048, 256), (8192, 1024)])
+def test_pallas_split_matches_xla(M, Mi):
+    """Large-M split path (outer stages + folded inner batch): all four
+    transform kinds bit-exact vs the XLA path."""
+    ps = tuple(pr.find_ntt_primes(2, 1 << 15))
+    plan_neg = nttm.get_plan(ps, M, negacyclic=True)
+    plan_cyc = nttm.get_plan(ps, M)
+    tables = pntt.get_split_tables(ps, M, Mi)
+    rng = np.random.default_rng(7)
+    B, tb = 8, 8
+    x = np.stack(
+        [
+            np.stack([rng.integers(0, q, M, dtype=np.uint64) for q in ps])
+            for _ in range(B)
+        ]
+    ).astype(np.uint32)
+    xj = jnp.asarray(x)
+
+    def split(v, inverse, negacyclic):
+        return np.asarray(
+            pntt.ntt_split_pallas(
+                v, tables, tb, inverse=inverse, negacyclic=negacyclic,
+                interpret=True,
+            )
+        )
+
+    # negacyclic fwd + inv
+    want_f = np.asarray(nttm.negacyclic_ntt_rev(xj, plan_neg))
+    got_f = split(xj, False, True)
+    assert (got_f == want_f).all()
+    got_b = split(jnp.asarray(got_f), True, True)
+    assert (got_b == x).all()
+
+    # cyclic fwd + inv
+    want_cf = np.asarray(nttm.cyclic_ntt_rev(xj, plan_cyc))
+    got_cf = split(xj, False, False)
+    assert (got_cf == want_cf).all()
+    got_cb = split(jnp.asarray(got_cf), True, False)
+    assert (got_cb == x).all()
+
+
 @pytest.mark.parametrize("M", [256, 1024])
 def test_pallas_inverse_and_cyclic_match_xla(M):
     ps = tuple(pr.find_ntt_primes(2, 1 << 12))
