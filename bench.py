@@ -5,25 +5,42 @@ Prints ONE JSON line:
    "vs_baseline": <ratio vs MULTI-core (single-socket) native C++ baseline>}
 
 One NTT op = a full 6-limb negacyclic forward transform of one degree-8192
-polynomial (the BASELINE.md north-star kernel).  Legs timed separately and
-honestly (VERDICT r1 "missing #4/#5"):
-  * xla leg    — the true u64-emulating XLA path (set_backend("xla"))
+polynomial (the BASELINE.md north-star kernel).  Legs timed separately:
+  * xla leg    — the u64-emulating XLA path (set_backend("xla"))
   * pallas leg — the Shoup-u32 Pallas kernel (set_backend("pallas"))
   * cpu legs   — native C++ (OpenMP): 1 thread and all threads ("socket")
-Secondary numbers (roofline, per-leg timings) go to stderr.
+
+Timing methodology (round-3 fix; VERDICT r2 "weak #1"): the axon relay's
+``block_until_ready`` can return before the device finishes, so NO timed
+section trusts it.  Every timed call ends by fetching a small *dependent*
+slice of the chain output to host (``_sync``), which cannot complete early.
+The relay also adds ~20-30 ms FIXED overhead per call (measured by the
+round-3 probes), so per-batch time comes from the SLOPE across three chain
+lengths (n, 4n, 16n iterations of one dynamically-counted ``fori_loop``
+program — one compile per leg): dt = (t_16n - t_4n) / 12n.  The two slopes
+(n->4n and 4n->16n) must agree within 40% (REP-linearity under offset) or
+the bench FAILS, and the achieved rate must sit at or below the printed
+HBM/ALU rooflines or the bench FAILS — an artifact like r2's 4915%-of-peak
+number can no longer be emitted.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-# v5e per-chip peaks used for the roofline percentages (public numbers:
-# jax-ml.github.io/scaling-book; HBM ~819 GB/s).  The kernel is VPU-bound:
-# butterfly int ops vs ~4e11 u32 op/s is the speed-of-light estimate.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+
+# v5e per-chip peaks for the roofline gates (public numbers:
+# jax-ml.github.io/scaling-book): HBM ~819 GB/s; ALU issue upper bound
+# 4 ALUs x (8x128) lanes x ~1.5 GHz ~= 6.1e12 u32 op/s (clock inferred from
+# the published 197 bf16 TFLOP/s = 4 MXUs x 128x128 x 2 x 1.5e9).  No u32
+# kernel can exceed either; the butterfly op count vs the ALU bound is the
+# speed-of-light estimate for this VPU-bound kernel.
 HBM_GBPS = 819.0
-VPU_U32_OPS = 4.0e11
+VPU_U32_OPS = 6.1e12
 
 
 def _numpy_ntt_baseline(plan, x, iters=3):
@@ -64,6 +81,7 @@ def main():
     N = 8192
     L = 6
     BATCH = 32
+    REP = 10  # chain lengths timed: REP, 4*REP, 16*REP
     primes = tuple(find_ntt_primes(L, 1 << 21))
     plan = nttm.get_plan(primes, N, negacyclic=True)
 
@@ -79,82 +97,129 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     print(f"[bench] device: {dev}", file=sys.stderr, flush=True)
 
-    REP = 10
+    def _sync(v):
+        """Force true completion: fetch a dependent slice to host.  The relay
+        cannot return this before the producing computation finished."""
+        return np.asarray(jax.device_get(v[0, 0, :4]))
 
     def make_chain(backend):
-        """Chained dependent NTTs under one jit with the given routing baked
-        in at trace time (per-call relay latency otherwise dominates)."""
+        """Dependent-NTT chain with a DYNAMIC trip count under one jit (one
+        compile serves every chain length; per-call relay latency and compile
+        cost otherwise dominate)."""
         prev = nttm.set_backend(backend)
 
         @jax.jit
-        def chain(v):
-            for _ in range(REP):
-                v = nttm.negacyclic_ntt_rev(v, plan)
-            return v
+        def chain(v, n):
+            return jax.lax.fori_loop(
+                0, n, lambda i, u: nttm.negacyclic_ntt_rev(u, plan), v
+            )
 
         x = jnp.asarray(x_np)
         t0 = time.perf_counter()
-        res = chain(x).block_until_ready()  # compile + warm
+        res = chain(x, REP)
+        _sync(res)  # compile + warm, fully synced
         compile_s = time.perf_counter() - t0
         nttm.set_backend(prev)
         return chain, res, compile_s
 
-    def best_of(f, x, n=3):
+    def best_of(f, x, n_iter, n=4):
         times = []
         for _ in range(n):
             t0 = time.perf_counter()
-            f(x).block_until_ready()
-            times.append((time.perf_counter() - t0) / REP)
+            v = f(x, n_iter)
+            _sync(v)
+            times.append(time.perf_counter() - t0)
         return min(times)
 
+    # rooflines for the batch (computed once, used for the sanity gate)
+    rl_probe = ntt_roofline(N, L, BATCH, 1.0)  # int_ops only
+    min_bytes = BATCH * L * N * 4 * 2
+    hbm_floor_s = min_bytes / (HBM_GBPS * 1e9)
+    vpu_floor_s = rl_probe["int_ops"] / VPU_U32_OPS
+    floor_s = max(min(vpu_floor_s, hbm_floor_s), 1e-9)
+    print(
+        f"[bench] floors: vpu {vpu_floor_s*1e6:.0f} us, "
+        f"hbm {hbm_floor_s*1e6:.0f} us/batch",
+        file=sys.stderr, flush=True,
+    )
+
     x = jnp.asarray(x_np)
+    failures = []
+
+    def measure(backend):
+        """Returns (dt_per_batch, out, linearity, compile_s) with honest sync.
+
+        dt is the 4n->16n slope; `linearity` is the slope ratio
+        (t16-t4)/(t4-t1) / 4, ~1.0 when timing scales with work."""
+        chain, out, comp = make_chain(backend)
+        t1 = best_of(chain, x, REP)
+        t4 = best_of(chain, x, 4 * REP)
+        t16 = best_of(chain, x, 16 * REP)
+        slope_a = max(t4 - t1, 1e-12) / (3 * REP)
+        slope_b = max(t16 - t4, 1e-12) / (12 * REP)
+        linearity = slope_b / slope_a
+        dt = slope_b
+        overhead = t1 - REP * dt
+        print(
+            f"[bench] {backend}: {dt*1e6:.1f} us/batch (slope; early slope "
+            f"{slope_a*1e6:.1f} us, ratio {linearity:.2f} expected ~1.0, "
+            f"fixed overhead {overhead*1e3:.1f} ms/call, compile {comp:.1f}s)",
+            file=sys.stderr, flush=True,
+        )
+        if not (0.6 <= linearity <= 1.4):
+            failures.append(
+                f"{backend}: slope ratio {linearity:.2f} outside [0.6, 1.4] "
+                "— timing does not scale with work; relay sync is lying"
+            )
+        if dt < floor_s:
+            failures.append(
+                f"{backend}: {dt*1e6:.1f} us/batch beats the physical floor "
+                f"{floor_s*1e6:.1f} us — measurement invalid"
+            )
+        return dt, out, linearity, comp
 
     # --- XLA leg (true u64-emulation path) ----------------------------------
-    chain_x, out_x, comp_s = make_chain("xla")
-    print(f"[bench] xla compile: {comp_s:.1f}s", file=sys.stderr, flush=True)
-    dt_xla = best_of(chain_x, x)
-    print(f"[bench] xla path: {dt_xla*1e6:.1f} us/batch", file=sys.stderr, flush=True)
-    dt = dt_xla
+    dt_xla, out_x, lin_x, _ = measure("xla")
 
     # --- Pallas leg ----------------------------------------------------------
-    dt_pallas = None
+    dt_pallas, lin_p = None, None
     if on_tpu:
         try:
-            chain_p, out_p, comp_s = make_chain("pallas")
-            assert (np.asarray(out_p) == np.asarray(out_x)).all(), "pallas mismatch"
-            print(f"[bench] pallas compile: {comp_s:.1f}s", file=sys.stderr, flush=True)
-            dt_pallas = best_of(chain_p, x)
-            print(
-                f"[bench] pallas kernel: {dt_pallas*1e6:.1f} us/batch "
-                f"({dt_xla/dt_pallas:.1f}x vs xla)",
-                file=sys.stderr, flush=True,
-            )
-            dt = min(dt, dt_pallas)
+            dt_pallas, out_p, lin_p, _ = measure("pallas")
+            assert (np.asarray(out_p) == np.asarray(out_x)).all(), \
+                "pallas mismatch vs xla (timed outputs)"
         except Exception as e:  # pallas unavailable
+            if failures:
+                raise
             print(
-                f"[bench] pallas kernel skipped: {type(e).__name__}: {str(e)[:200]}",
+                f"[bench] pallas kernel skipped: {type(e).__name__}: {str(e)[:300]}",
                 file=sys.stderr, flush=True,
             )
 
+    dt = dt_xla if dt_pallas is None else min(dt_xla, dt_pallas)
     ntts_per_s = BATCH / dt
     print(
         f"[bench] tpu: {dt*1e3:.2f} ms / batch of {BATCH} -> {ntts_per_s:.1f} ntt/s",
         file=sys.stderr, flush=True,
     )
 
-    # roofline: the dominant cost is VPU u32 butterfly work; the HBM floor is
-    # one read+write of the batch if all stages stay VMEM-resident.
     rl = ntt_roofline(N, L, BATCH, dt)
-    min_bytes = BATCH * L * N * 4 * 2
-    hbm_floor_s = min_bytes / (HBM_GBPS * 1e9)
-    vpu_floor_s = rl["int_ops"] / VPU_U32_OPS
+    vpu_pct = 100 * rl["int_ops_per_s"] / VPU_U32_OPS
     print(
         f"[bench] roofline: {rl['int_ops_per_s']/1e9:.1f} Gop/s u32 "
-        f"({100*rl['int_ops_per_s']/VPU_U32_OPS:.1f}% of ~{VPU_U32_OPS/1e12:.1f} Top/s VPU), "
-        f"stage traffic {rl['achieved_GBps']:.0f} GB/s; "
-        f"floors: vpu {vpu_floor_s*1e6:.0f} us, hbm {hbm_floor_s*1e6:.0f} us/batch",
+        f"({vpu_pct:.1f}% of ~{VPU_U32_OPS/1e12:.1f} Top/s VPU), "
+        f"stage traffic {rl['achieved_GBps']:.0f} GB/s",
         file=sys.stderr, flush=True,
     )
+    if vpu_pct > 100.0:
+        failures.append(
+            f"achieved {vpu_pct:.1f}% of the VPU roofline (> 100%) — "
+            "measurement invalid"
+        )
+    if failures:
+        for f_ in failures:
+            print(f"[bench] INVALID: {f_}", file=sys.stderr, flush=True)
+        raise SystemExit("bench self-check failed: " + "; ".join(failures))
 
     # --- CPU baselines: native C++ (OpenMP), 1 thread and all threads -------
     base_batch = 4
@@ -183,10 +248,11 @@ def main():
     ntts_socket = base_batch / dt_socket
     print(
         f"[bench] cpu 1-core: {ntts_1core:.1f} ntt/s; "
-        f"socket [{base_kind}]: {ntts_socket:.1f} ntt/s",
+        f"socket [{base_kind}]: {ntts_socket:.1f} ntt/s "
+        f"(this box has {n_thr} cores — a small socket)",
         file=sys.stderr, flush=True,
     )
-    # cross-check correctness vs the baseline (single transform, xla path)
+    # cross-check single-transform correctness vs the CPU baseline
     nttm.set_backend("xla")
     one = jax.jit(lambda v: nttm.negacyclic_ntt_rev(v, plan))(
         jnp.asarray(x_np[:base_batch])
@@ -204,8 +270,10 @@ def main():
                 "vs_1core": round(ntts_per_s / ntts_1core, 2),
                 "xla_us": round(dt_xla * 1e6, 1),
                 "pallas_us": None if dt_pallas is None else round(dt_pallas * 1e6, 1),
+                "linearity_xla": round(lin_x, 2),
+                "linearity_pallas": None if lin_p is None else round(lin_p, 2),
                 "cpu_threads": n_thr,
-                "vpu_roofline_pct": round(100 * rl["int_ops_per_s"] / VPU_U32_OPS, 2),
+                "vpu_roofline_pct": round(vpu_pct, 2),
             }
         ),
         flush=True,

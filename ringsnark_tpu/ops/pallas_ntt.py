@@ -9,12 +9,15 @@ Shoup precomputed-twiddle multiplies in pure uint32 (no 64-bit emulation):
 
 `mulhi32` is built from 16-bit partial products (TPU has no 32x32->64).
 
-Stage strategy (Mosaic layout constraints):
-* butterfly distance d >= 128: lane dimension untouched — reshape to
-  [..., nb, 2, d] and slice (the XLA-path formulation);
-* d < 128: butterflies live inside 128-lane tiles — pltpu.roll(+-d) along
-  the last axis with an iota mask and positioned twiddle vectors
-  (precomputed host-side), avoiding sub-lane reshapes.
+Stage strategy (Mosaic layout constraints): EVERY stage runs as a masked
+lane-roll butterfly on the [TB, M] block — partners fetched with
+pltpu.roll(+-d) along the last axis, an iota mask selecting the a/b halves,
+and positioned twiddle vectors (precomputed host-side, one [M] row per
+stage).  For d >= 128 the roll is a whole-vreg lane-tile rotation; for
+d < 128 it is an intra-tile lane rotation.  This does ~2x the modular
+arithmetic of the slice formulation (both butterfly outputs are computed at
+every position) but zero relayouts — the round-2 slice/stack formulation
+spent most of its time in Mosaic relayout copies, not arithmetic.
 
 Kernels are GRID-FREE (single program, limb loop unrolled with the prime as
 an immediate): this environment's remote Mosaic compiler rejects any gridded
@@ -56,20 +59,16 @@ LANE = 128
 class PallasNTTTables:
     primes: tuple[int, ...]
     M: int
-    # forward
+    # negacyclic pre/post scale rows
     psi: object = field(hash=False, compare=False)  # [L, M]
     psi_sh: object = field(hash=False, compare=False)
-    flat_tw: object = field(hash=False, compare=False)  # [L, M] big-stage segs
-    flat_tw_sh: object = field(hash=False, compare=False)
-    pos_tw: object = field(hash=False, compare=False)  # [L, n_small, M]
-    pos_tw_sh: object = field(hash=False, compare=False)
-    # inverse
-    inv_flat_tw: object = field(hash=False, compare=False)  # [L, M] (d=128..M/2)
-    inv_flat_tw_sh: object = field(hash=False, compare=False)
-    inv_pos_tw: object = field(hash=False, compare=False)  # [L, n_small, M]
-    inv_pos_tw_sh: object = field(hash=False, compare=False)
     psiinv_s: object = field(hash=False, compare=False)  # [L, M] psi^-i * M^-1
     psiinv_s_sh: object = field(hash=False, compare=False)
+    # positioned per-stage twiddle rows, ALL log2(M) stages
+    pos_tw: object = field(hash=False, compare=False)  # [L, n_stages, M] fwd
+    pos_tw_sh: object = field(hash=False, compare=False)
+    inv_pos_tw: object = field(hash=False, compare=False)  # [L, n_stages, M]
+    inv_pos_tw_sh: object = field(hash=False, compare=False)
     minv: tuple = field(hash=False, compare=False)  # per-limb ints
     minv_sh: tuple = field(hash=False, compare=False)
 
@@ -93,26 +92,15 @@ def get_pallas_tables(primes: tuple[int, ...], M: int) -> PallasNTTTables:
     psiinv_s = plan.psi_inv_scaled.astype(np.uint32)
     psiinv_s_sh = np.stack([_shoup(psiinv_s[l], primes[l]) for l in range(L)])
 
-    n_big = (M // LANE).bit_length() - 1  # d = M/2 .. LANE
-    n_small = LANE.bit_length() - 1  # d = LANE/2 .. 1
+    n_stages = M.bit_length() - 1
     ks = np.arange(M)
 
-    def build(dirn_pows, l, p, inverse: bool):
-        """(flat big-stage segments [M], positioned small-stage rows)."""
-        segs = []
-        big_ds = (
-            [M >> (s + 1) for s in range(n_big)]  # fwd: M/2 .. 128
-            if not inverse
-            else [LANE << s for s in range(n_big)]  # inv: 128 .. M/2
-        )
-        for d in big_ds:
-            stride = M // (2 * d)
-            segs.append(dirn_pows[: d * stride : stride][:d])
-        seg = np.concatenate(segs)
-        flat = np.concatenate([seg, np.zeros(M - len(seg), dtype=np.uint32)])
+    def build(dirn_pows, inverse: bool):
+        """Positioned twiddle rows [n_stages, M] (see kernel docstring)."""
         rows = []
-        for s in range(n_small):
-            d = LANE >> (s + 1) if not inverse else 1 << s
+        for s in range(n_stages):
+            # fwd: d = M/2 .. 1; inv: d = 1 .. M/2
+            d = (M >> (s + 1)) if not inverse else (1 << s)
             stride = M // (2 * d)
             if not inverse:
                 # fwd DIF: twiddle on 'b' outputs, index (k mod 2d) - d
@@ -122,22 +110,17 @@ def get_pallas_tables(primes: tuple[int, ...], M: int) -> PallasNTTTables:
                 # inv DIT: same twiddle index k mod d at both pair positions
                 tw = dirn_pows[((ks % d) * stride) % M]
             rows.append(tw.astype(np.uint32))
-        return flat, np.stack(rows)
+        return np.stack(rows)
 
-    flat, flat_sh, pos, pos_sh = [], [], [], []
-    iflat, iflat_sh, ipos, ipos_sh = [], [], [], []
+    pos, pos_sh, ipos, ipos_sh = [], [], [], []
     minv, minv_sh = [], []
     for l, p in enumerate(primes):
         w_pows = _mod_powers(plan.w_np[l], M, p).astype(np.uint32)
         winv_pows = _mod_powers(pow(plan.w_np[l], p - 2, p), M, p).astype(np.uint32)
-        f, po = build(w_pows, l, p, inverse=False)
-        flat.append(f)
-        flat_sh.append(_shoup(f, p))
+        po = build(w_pows, inverse=False)
         pos.append(po)
         pos_sh.append(np.stack([_shoup(r, p) for r in po]))
-        fi, poi = build(winv_pows, l, p, inverse=True)
-        iflat.append(fi)
-        iflat_sh.append(_shoup(fi, p))
+        poi = build(winv_pows, inverse=True)
         ipos.append(poi)
         ipos_sh.append(np.stack([_shoup(r, p) for r in poi]))
         mv = pow(M, p - 2, p)
@@ -147,11 +130,9 @@ def get_pallas_tables(primes: tuple[int, ...], M: int) -> PallasNTTTables:
     return PallasNTTTables(
         primes=primes, M=M,
         psi=psi, psi_sh=psi_sh,
-        flat_tw=np.stack(flat), flat_tw_sh=np.stack(flat_sh),
-        pos_tw=np.stack(pos), pos_tw_sh=np.stack(pos_sh),
-        inv_flat_tw=np.stack(iflat), inv_flat_tw_sh=np.stack(iflat_sh),
-        inv_pos_tw=np.stack(ipos), inv_pos_tw_sh=np.stack(ipos_sh),
         psiinv_s=psiinv_s, psiinv_s_sh=psiinv_s_sh,
+        pos_tw=np.stack(pos), pos_tw_sh=np.stack(pos_sh),
+        inv_pos_tw=np.stack(ipos), inv_pos_tw_sh=np.stack(ipos_sh),
         minv=tuple(minv), minv_sh=tuple(minv_sh),
     )
 
@@ -193,29 +174,19 @@ def _ntt_kernel_gridfree(
     """Grid-free kernel: one program transforms [L, TB, M] entirely in VMEM.
 
     The remote Mosaic compiler here rejects any gridded pallas_call, so the
-    limb loop is unrolled with the limb prime as an immediate constant."""
-    n_big = (M // LANE).bit_length() - 1
-    n_small = LANE.bit_length() - 1
+    limb loop is unrolled with the limb prime as an immediate constant.
+
+    Every stage is a masked lane-roll butterfly: at position k of the pair
+    (a=k, b=k+d), both outputs are computed everywhere and an iota mask
+    selects which survives.  Roll distances >= 128 are whole-vreg lane-tile
+    rotations; < 128 rotate within tiles.  No reshapes/stacks -> no Mosaic
+    relayout copies (~4x faster than the r2 slice formulation on chip)."""
+    n_stages = M.bit_length() - 1
     L = len(primes)
 
-    def fwd_big(x, p, ftw_ref, ftw_sh_ref, l):
-        off = 0
-        for s in range(n_big):
+    def fwd(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
+        for s in range(n_stages):
             d = M >> (s + 1)
-            nb = M // (2 * d)
-            xr = x.reshape(TB, nb, 2, d)
-            a_, b_ = xr[:, :, 0, :], xr[:, :, 1, :]
-            tw = ftw_ref[l, off : off + d]
-            tw_sh = ftw_sh_ref[l, off : off + d]
-            na = _addmod(a_, b_, p)
-            nb_ = _shoup_mul(_submod(a_, b_, p), tw, tw_sh, p)
-            x = jnp.stack([na, nb_], axis=2).reshape(TB, M)
-            off += d
-        return x
-
-    def fwd_small(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
-        for s in range(n_small):
-            d = LANE >> (s + 1)
             is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
             partner_fwd = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
             partner_bwd = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
@@ -225,8 +196,8 @@ def _ntt_kernel_gridfree(
             x = jnp.where(is_a, na, nb_)
         return x
 
-    def inv_small(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
-        for s in range(n_small):
+    def inv(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
+        for s in range(n_stages):
             d = 1 << s
             is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
             tw = ptw_ref[l, s, :]
@@ -239,24 +210,7 @@ def _ntt_kernel_gridfree(
             x = jnp.where(is_a, a_new, b_new)
         return x
 
-    def inv_big(x, p, ftw_ref, ftw_sh_ref, l):
-        off = 0
-        for s in range(n_big):
-            d = LANE << s
-            nb = M // (2 * d)
-            xr = x.reshape(TB, nb, 2, d)
-            a_, b_ = xr[:, :, 0, :], xr[:, :, 1, :]
-            tw = ftw_ref[l, off : off + d]
-            tw_sh = ftw_sh_ref[l, off : off + d]
-            t = _shoup_mul(b_, tw, tw_sh, p)
-            na = _addmod(a_, t, p)
-            nb_ = _submod(a_, t, p)
-            x = jnp.stack([na, nb_], axis=2).reshape(TB, M)
-            off += d
-        return x
-
-    def kernel(x_ref, tw1_ref, tw1_sh_ref, tw2_ref, tw2_sh_ref,
-               scale_ref, scale_sh_ref, out_ref):
+    def kernel(x_ref, tw_ref, tw_sh_ref, scale_ref, scale_sh_ref, out_ref):
         lane_idx = jax.lax.broadcasted_iota(jnp.uint32, (TB, M), 1)
         for l in range(L):
             p = jnp.uint32(primes[l])
@@ -264,11 +218,9 @@ def _ntt_kernel_gridfree(
             if not inverse:
                 if negacyclic:
                     x = _shoup_mul(x, scale_ref[l], scale_sh_ref[l], p)
-                x = fwd_big(x, p, tw1_ref, tw1_sh_ref, l)
-                x = fwd_small(x, p, tw2_ref, tw2_sh_ref, l, lane_idx)
+                x = fwd(x, p, tw_ref, tw_sh_ref, l, lane_idx)
             else:
-                x = inv_small(x, p, tw2_ref, tw2_sh_ref, l, lane_idx)
-                x = inv_big(x, p, tw1_ref, tw1_sh_ref, l)
+                x = inv(x, p, tw_ref, tw_sh_ref, l, lane_idx)
                 if negacyclic:
                     x = _shoup_mul(x, scale_ref[l], scale_sh_ref[l], p)
                 elif scale:
@@ -296,17 +248,14 @@ def _apply_lbm(xt, tables: PallasNTTTables, tb: int, inverse: bool,
         tables.minv, tables.minv_sh, scale,
     )
     if not inverse:
-        tbl = (tables.flat_tw, tables.flat_tw_sh,
-               tables.pos_tw, tables.pos_tw_sh,
-               tables.psi, tables.psi_sh)
+        tbl = (tables.pos_tw, tables.pos_tw_sh, tables.psi, tables.psi_sh)
     else:
-        tbl = (tables.inv_flat_tw, tables.inv_flat_tw_sh,
-               tables.inv_pos_tw, tables.inv_pos_tw_sh,
+        tbl = (tables.inv_pos_tw, tables.inv_pos_tw_sh,
                tables.psiinv_s, tables.psiinv_s_sh)
     tbl_args = tuple(jnp.asarray(t) for t in tbl)
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, tb, M), jnp.uint32),
         interpret=interpret,

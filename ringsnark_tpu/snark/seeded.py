@@ -38,7 +38,12 @@ import jax
 import jax.numpy as jnp
 
 from ..encoding import Encoding, encode, keygen
-from ..encoding.bgv import _encrypt_kernel, _sample_uniform, plain_to_inner_ntt
+from ..encoding.bgv import (
+    _encrypt_kernel,
+    _lift_centered,
+    _sample_uniform,
+    plain_to_inner_ntt,
+)
 from ..encoding.context import EncodingContext
 from ..ops.modops import mul_mod, add_mod, barrett_reduce_u64
 from ..reductions.r1cs_to_qrp import (
@@ -151,10 +156,97 @@ def encode_seeded(
 # ---------------------------------------------------------------------------
 # scan MAC
 # ---------------------------------------------------------------------------
+#
+# Two device paths, bit-identical results (tests/test_seeded.py):
+#
+# * "u64"  — generic: u64-emulated Barrett multiply + exact u64 lazy sums.
+#   Works for any plaintext shape (incl. dense Rq polynomials).
+# * "mxu"  — the Z_q fast path (N == 1): each CRS term's plaintext is a
+#   SCALAR, so the MAC  sum_i c[i, :] * w[i]  is a vector-matrix product.
+#   Decompose both operands into 4 bytes and run u8 x u8 -> i32
+#   `dot_general` contractions on the MXU (exact: every byte-product
+#   partial sum < 2^31 for slabs <= 8192), then recombine the 16 partials
+#   mod p with one Barrett per shift class.  This moves the prover's
+#   dominant op from emulated-u64 VPU work onto the systolic array — the
+#   reference's OpenMP MAC loop (`rinocchio.tcc:106-163`,
+#   `seal/seal_ring.tcc:509-548`) has no analog of this reformulation.
+#
+# Mode: RINGSNARK_MAC_BACKEND in {auto, mxu, u64}; auto = mxu when the
+# scalar fast path applies.
 
 
-@partial(jax.jit, static_argnames=("ctx", "slab", "n_pts"))
-def _seeded_mac_kernel(ctx: EncodingContext, c0, key, pts, slab: int, n_pts: int):
+def _mac_mode() -> str:
+    import os
+
+    return os.environ.get("RINGSNARK_MAC_BACKEND", "auto")
+
+
+def _bytes_u32(x):
+    """u32[...] -> u8[4, ...] little-endian byte planes."""
+    return jnp.stack(
+        [((x >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.uint8)
+         for k in range(4)]
+    )
+
+
+def _mac_slab_mxu(ctx: EncodingContext, c0s, c1s, pt_slabs, p, mu, b):
+    """One slab's MACs on the MXU (scalar-plaintext fast path).
+
+    c0s/c1s: [S, L, L', N']; pt_slabs: tuple of [S, L, 1] slot arrays.
+    Returns tuple per pt of (m0, m1) canonical uint32 [L, L', N'].
+    """
+    S = c0s.shape[0]
+    L, Lp, Np = ctx.L, ctx.L_inner, ctx.n_inner
+    n_pts = len(pt_slabs)
+    assert S <= 8192, "byte-product partial sums must stay below 2^31"
+    # scalar plaintext lifts [P, S, L, L'] and their byte planes
+    w = jnp.stack([_lift_centered(ctx, pt, 0)[..., 0] for pt in pt_slabs])
+    wb = _bytes_u32(w)  # [4, P, S, L, L']
+    lhs = wb.transpose(3, 4, 1, 0, 2).reshape(L, Lp, n_pts * 4, S)
+    cb = _bytes_u32(jnp.stack([c0s, c1s]))  # [4, 2, S, L, L', N']
+    rhs = cb.transpose(3, 4, 2, 1, 0, 5).reshape(L, Lp, S, 8 * Np)
+    out = jax.lax.dot_general(
+        lhs, rhs, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )  # [L, L', P*4, 8*N']
+    out = out.reshape(L, Lp, n_pts, 4, 2, 4, Np).astype(jnp.uint64)
+    # recombine: group byte products by shift class s = j + k, reduce, scale.
+    # T layout is [L, L', P, 2, N'] — realign the [L', 1] limb consts to it.
+    def align(c):
+        return c[:, 0][None, :, None, None, None]  # -> [1, L', 1, 1, 1]
+
+    pA, muA, bA = align(p), align(mu), align(b)
+    pw2 = np.stack(
+        [
+            np.array([(1 << (8 * s)) % q for q in ctx.inner_primes],
+                     dtype=np.uint64)
+            for s in range(7)
+        ]
+    )  # [7, L']
+    res = jnp.zeros((L, Lp, n_pts, 2, Np), dtype=jnp.uint32)
+    for s in range(7):
+        terms = [
+            out[:, :, :, k, :, j, :]
+            for k in range(4)
+            for j in range(4)
+            if j + k == s
+        ]
+        T = terms[0]
+        for t in terms[1:]:
+            T = T + t  # u64 exact: < 4 * 255^2 * 8192 < 2^33
+        T = barrett_reduce_u64(T, pA, muA, bA).astype(jnp.uint64)
+        T = barrett_reduce_u64(
+            T * pw2[s][None, :, None, None, None], pA, muA, bA
+        )
+        res = add_mod(res, T, pA.astype(jnp.uint32))
+    res = res.transpose(2, 3, 0, 1, 4)  # [P, 2, L, L', N']
+    return tuple((res[i, 0], res[i, 1]) for i in range(n_pts))
+
+
+@partial(jax.jit, static_argnames=("ctx", "slab", "n_pts", "mode"))
+def _seeded_mac_kernel(
+    ctx: EncodingContext, c0, key, pts, slab: int, n_pts: int, mode: str = "u64"
+):
     """sum_i E_i * r_i at level 0 for n_pts plaintext batches sharing one CRS.
 
     c0: [B_pad, L, L', N']; pts: tuple of [B_pad, L, n] slot arrays (zero
@@ -169,7 +261,7 @@ def _seeded_mac_kernel(ctx: EncodingContext, c0, key, pts, slab: int, n_pts: int
     ptsr = tuple(p.reshape(nslab, slab, *p.shape[1:]) for p in pts)
     p, mu, b = ctx.inner_consts(0)
 
-    def step(accs, xs):
+    def step_u64(accs, xs):
         i, c0s = xs[0], xs[1]
         pt_slabs = xs[2:]
         c1s = _sample_uniform(ctx, _slab_c1_key(key, i), (slab,))
@@ -186,9 +278,29 @@ def _seeded_mac_kernel(ctx: EncodingContext, c0, key, pts, slab: int, n_pts: int
             )
         return tuple(out), None
 
+    def step_mxu(accs, xs):
+        i, c0s = xs[0], xs[1]
+        pt_slabs = xs[2:]
+        c1s = _sample_uniform(ctx, _slab_c1_key(key, i), (slab,))
+        macs = _mac_slab_mxu(ctx, c0s, c1s, pt_slabs, p, mu, b)
+        return (
+            tuple(
+                (add_mod(a0, m0, p), add_mod(a1, m1, p))
+                for (a0, a1), (m0, m1) in zip(accs, macs)
+            ),
+            None,
+        )
+
+    if mode == "mxu":
+        zero = jnp.zeros((ctx.L, Lp, ctx.n_inner), dtype=jnp.uint32)
+        init = tuple((zero, zero) for _ in range(n_pts))
+        accs, _ = jax.lax.scan(
+            step_mxu, init, (jnp.arange(nslab), c0r) + ptsr
+        )
+        return accs
     zero = jnp.zeros((ctx.L, Lp, ctx.n_inner), dtype=jnp.uint64)
     init = tuple((zero, zero) for _ in range(n_pts))
-    accs, _ = jax.lax.scan(step, init, (jnp.arange(nslab), c0r) + ptsr)
+    accs, _ = jax.lax.scan(step_u64, init, (jnp.arange(nslab), c0r) + ptsr)
     return tuple(
         (
             barrett_reduce_u64(a0, p, mu, b),
@@ -219,7 +331,13 @@ def seeded_inner_product(
         )
 
     pts_pad = tuple(pad_to(p.astype(jnp.uint32)) for p in pts)
-    accs = _seeded_mac_kernel(ctx, senc.c0, senc.key, pts_pad, senc.slab, len(pts))
+    mode = _mac_mode()
+    if mode == "auto":
+        scalar = all(p.shape[-1] == 1 for p in pts_pad) and ctx.ring.N == 1
+        mode = "mxu" if (scalar and senc.slab <= 8192) else "u64"
+    accs = _seeded_mac_kernel(
+        ctx, senc.c0, senc.key, pts_pad, senc.slab, len(pts), mode
+    )
     outs = []
     max_level = max(ctx.L_inner - ctx.floor_limbs, 0) if use_modswitch else 0
     for a0, a1 in accs:

@@ -96,6 +96,36 @@ def test_seeded_prover_matches_expanded_prover(builder):
         assert (np.asarray(a.c1) == np.asarray(b.c1)).all()
 
 
+def test_mac_mxu_matches_u64(monkeypatch):
+    """The MXU byte-product MAC is bit-identical to the generic u64 path."""
+    params = _params(N=1, L=2)
+    ectx = params.enc
+    rng = np.random.default_rng(13)
+    from ringsnark_tpu.encoding import keygen
+
+    _, sk = keygen(ectx, rng)
+    B = 21
+    msgs = RingElem.stack(
+        [RingElem.random_element(ectx.ring, rng) for _ in range(B)]
+    )
+    pts = [
+        RingElem.stack(
+            [RingElem.random_element(ectx.ring, rng) for _ in range(B)]
+        ).res
+        for _ in range(2)
+    ]
+    senc = encode_seeded(ectx, sk, msgs, jax.random.PRNGKey(17), slab=8)
+
+    monkeypatch.setenv("RINGSNARK_MAC_BACKEND", "u64")
+    got_u64 = seeded_inner_product(senc, pts)
+    monkeypatch.setenv("RINGSNARK_MAC_BACKEND", "mxu")
+    got_mxu = seeded_inner_product(senc, pts)
+    for a, b in zip(got_u64, got_mxu):
+        assert a.level == b.level
+        assert (np.asarray(a.c0) == np.asarray(b.c0)).all()
+        assert (np.asarray(a.c1) == np.asarray(b.c1)).all()
+
+
 def test_square_chain_satisfied():
     params = _params(N=1, L=2)
     rng = np.random.default_rng(5)
