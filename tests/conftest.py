@@ -16,19 +16,25 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# persistent jit cache: repeat runs skip recompilation (the suite is
+# compile-dominated on this 2-core box)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache-tests")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: exhaustive sweep / redundant parameterization; skipped unless "
-        "RINGSNARK_SLOW=1 (the default run keeps one representative case per "
-        "code path so `pytest tests/` stays under ~5 minutes)",
+        "RINGSNARK_SLOW=1.  The default tier keeps one representative case "
+        "per code path; measured on this 2-core box it runs in ~6 min cold "
+        "and ~3 min with a warm /root/jaxcache-tests compilation cache "
+        "(timing recorded in DESIGN.md §test-tiers).",
     )
 
 

@@ -126,6 +126,9 @@ def test_incircuit_ntt_prove_verify_rinocchio():
     assert rinocchio.verifier(kp.vk, pb.primary_input(), proof)
 
 
+@pytest.mark.slow  # groth16 e2e is covered at every default run by
+# test_snark/test_seeded; the logreg circuit's satisfiability is checked
+# above and its reference-shape prove/verify is recorded by bench_circuits.
 def test_logreg_prove_verify_groth16():
     params = _params(N=16)
     rng = np.random.default_rng(8)

@@ -23,6 +23,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
+@pytest.mark.slow  # ~1 min: spawns 2 OS processes, each compiling the full
+# sharded prover; unique DCN-analog coverage — run with RINGSNARK_SLOW=1.
 def test_two_process_prover_bit_identical():
     port = _free_port()
     env = dict(os.environ)

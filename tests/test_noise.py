@@ -90,7 +90,7 @@ def _stress_ectx(N, L_inner, n_inner=64, floor=2, margin=10):
     "N,B,L_inner",
     [
         (1, 512, 3),
-        (16, 512, 4),
+        pytest.param(16, 512, 4, marks=pytest.mark.slow),
         pytest.param(1, 4096, 3, marks=pytest.mark.slow),
         pytest.param(16, 2048, 4, marks=pytest.mark.slow),
     ],

@@ -37,7 +37,14 @@ def _mk(D, M=64, L=2, batch=3, seed=0, order=None):
         8,
     ],
 )
-@pytest.mark.parametrize("negacyclic", [False, True])
+@pytest.mark.parametrize(
+    "negacyclic",
+    [
+        pytest.param(False, marks=pytest.mark.slow),
+        pytest.param(True, marks=pytest.mark.slow),
+    ],
+)  # forward-only coverage is subsumed by the inverse test (which checks the
+# forward reference too) and the 2d-mesh jit roundtrip below
 def test_sharded_forward_matches_single_device(D, negacyclic):
     ps, plan, x, mesh = _mk(D)
     xs = jax.device_put(
@@ -51,7 +58,9 @@ def test_sharded_forward_matches_single_device(D, negacyclic):
 
 
 @pytest.mark.parametrize("D", [pytest.param(2, marks=pytest.mark.slow), 8])
-@pytest.mark.parametrize("negacyclic", [False, True])
+@pytest.mark.parametrize(
+    "negacyclic", [pytest.param(False, marks=pytest.mark.slow), True]
+)
 def test_sharded_inverse_matches_and_roundtrips(D, negacyclic):
     ps, plan, x, mesh = _mk(D, seed=5)
     fwd_1dev = (

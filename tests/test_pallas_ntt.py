@@ -41,7 +41,7 @@ def test_shoup_mul_exact():
     assert (got == want).all()
 
 
-@pytest.mark.parametrize("M", [256, 1024])
+@pytest.mark.parametrize("M", [256, pytest.param(1024, marks=pytest.mark.slow)])
 def test_pallas_ntt_matches_xla(M):
     ps = tuple(pr.find_ntt_primes(2, 1 << 12))
     plan = nttm.get_plan(ps, M, negacyclic=True)
@@ -59,7 +59,10 @@ def test_pallas_ntt_matches_xla(M):
     assert (got == want).all()
 
 
-@pytest.mark.parametrize("M,Mi", [(2048, 256), (8192, 1024)])
+@pytest.mark.parametrize(
+    "M,Mi",
+    [(1024, 256), pytest.param(8192, 1024, marks=pytest.mark.slow)],
+)
 def test_pallas_split_matches_xla(M, Mi):
     """Large-M split path (outer stages + folded inner batch): all four
     transform kinds bit-exact vs the XLA path."""
@@ -100,7 +103,7 @@ def test_pallas_split_matches_xla(M, Mi):
     assert (got_cb == x).all()
 
 
-@pytest.mark.parametrize("M", [256, 1024])
+@pytest.mark.parametrize("M", [256, pytest.param(1024, marks=pytest.mark.slow)])
 def test_pallas_inverse_and_cyclic_match_xla(M):
     ps = tuple(pr.find_ntt_primes(2, 1 << 12))
     plan_neg = nttm.get_plan(ps, M, negacyclic=True)

@@ -49,7 +49,11 @@ def test_mesh_construction():
 
 @pytest.mark.parametrize(
     "n,limb",
-    [(1, 1), pytest.param(4, 1, marks=pytest.mark.slow), (8, 2)],
+    [
+        pytest.param(1, 1, marks=pytest.mark.slow),
+        pytest.param(4, 1, marks=pytest.mark.slow),
+        (8, 2),
+    ],
 )
 def test_sharded_prover_matches_single_chip(env, n, limb):
     params, pb, kp = env
@@ -65,6 +69,9 @@ def test_sharded_prover_matches_single_chip(env, n, limb):
     assert groth16.verifier(kp.vk, pb.primary_input(), proof_sharded)
 
 
+@pytest.mark.slow  # ~4 min compile on the CPU mesh; the driver's
+# __graft_entry__.dryrun_multichip runs this same coeff-mesh prover path
+# every round, so the default tier keeps the cheaper mesh variants only.
 def test_coeff_sharded_prover_matches_single_chip(env):
     """('limb','coeff','data') mesh: the witness map's M/2M NTTs run
     coefficient-sharded (parallel/witness_sharded.py) and the proof is still
@@ -83,8 +90,13 @@ def test_coeff_sharded_prover_matches_single_chip(env):
 
 
 @pytest.mark.parametrize(
-    "n,limb", [pytest.param(4, 1, marks=pytest.mark.slow), (8, 2)]
-)
+    "n,limb",
+    [
+        pytest.param(4, 1, marks=pytest.mark.slow),
+        pytest.param(8, 2, marks=pytest.mark.slow),
+    ],
+)  # sharded-rinocchio equivalence is structural (same shard_map wrapper as
+# groth16, covered by default above); run the sweep with RINGSNARK_SLOW=1
 def test_sharded_rinocchio_matches_single_chip(env, n, limb):
     params, pb, kp = env
     kpr = rinocchio.generator(

@@ -108,7 +108,10 @@ def test_sage_circuit_qrp_identity(oc):
     assert lhs == rhs
 
 
-@pytest.mark.parametrize("ring", ["oracle", "tpu"])
+@pytest.mark.parametrize(
+    "ring", ["oracle", pytest.param("tpu", marks=pytest.mark.slow)]
+)  # the tpu variant re-runs the same math through per-op RingElem dispatch
+# (~1 min of tiny jits); RingElem arithmetic is covered by test_rings.py.
 def test_interpolation_roundtrip_reference_style(ring, oc):
     """interpolation_test.cpp:29-83 over both ring types."""
     rng = np.random.default_rng(3)

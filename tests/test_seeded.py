@@ -67,8 +67,13 @@ def test_seeded_ip_matches_expanded(N):
     assert decode(ectx, sk, got) == acc.broadcast_to_poly()
 
 
-@pytest.mark.parametrize("builder", [build_synthetic_mul_chain,
-                                     build_synthetic_square_chain])
+@pytest.mark.parametrize(
+    "builder",
+    [
+        pytest.param(build_synthetic_mul_chain, marks=pytest.mark.slow),
+        build_synthetic_square_chain,
+    ],
+)
 def test_seeded_prover_matches_expanded_prover(builder):
     params = _params(N=1, L=2)
     rng = np.random.default_rng(0)
