@@ -118,11 +118,19 @@ def encrypt(ctx: EncodingContext, sk: SecretKey, slots, key):
 
 @partial(jax.jit, static_argnames=("ctx",))
 def _encrypt_kernel(ctx: EncodingContext, s_ntt, slots, key):
-    batch_shape = slots.shape[:-2]
+    m = plain_to_inner_ntt(ctx, slots, level=0)
+    return _encrypt_from_m(ctx, s_ntt, m, key)
+
+
+def _encrypt_from_m(ctx: EncodingContext, s_ntt, m, key):
+    """Encrypt with the plaintext already in inner-NTT operand form
+    [*, L, L', N'] (lets callers hoist the plaintext NTTs out of scan
+    bodies — transform-inside-scan programs hang this environment's remote
+    compiler, and a batched pre-NTT is faster anyway)."""
+    batch_shape = m.shape[:-3]
     k_a, k_e = jax.random.split(key)
     a = _sample_uniform(ctx, k_a, batch_shape)
     e = _sample_error_ntt(ctx, k_e, batch_shape)
-    m = plain_to_inner_ntt(ctx, slots, level=0)
     p, mu, b = ctx.inner_consts(0)
     # limb-constant broadcast: arrays are [*, L, L', N'], consts [L', 1]
     As = mul_mod(a, s_ntt, p, mu, b)

@@ -272,9 +272,10 @@ def set_backend(name: str) -> str:
     return prev
 
 
-_PALLAS_TB = 8
-# VMEM estimate per call: 4 * Lc * M * (2*tb + 20) bytes; stay under ~12 MB
-_PALLAS_VMEM_WORDS = 3_000_000
+_PALLAS_TB = int(_os.environ.get("RINGSNARK_PALLAS_TB", 8))
+# VMEM estimate per call: 4 * Lc * M * (2*tb + 30) bytes (io + the
+# positioned all-stage twiddle tables + scale rows); stay under ~13 MB
+_PALLAS_VMEM_WORDS = 3_200_000
 # Largest M the grid-free single-program kernel can hold: the Mosaic scoped-
 # VMEM stack grows ~linearly with M (measured: 37.4 MB at M=131072 vs the
 # 16 MB limit => ~9.4 MB at 32768).  Above this, route through the split
@@ -327,7 +328,7 @@ def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
 
     # chunk the limb axis so tables + buffers fit VMEM
     m_eff = _SPLIT_MI if split else M
-    max_lc = max(1, _PALLAS_VMEM_WORDS // (m_eff * (2 * _PALLAS_TB + 20)))
+    max_lc = max(1, _PALLAS_VMEM_WORDS // (m_eff * (2 * _PALLAS_TB + 30)))
     outs = []
     for lo in range(0, L, max_lc):
         sub = tuple(plan.primes[lo : lo + max_lc])

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 from ..encoding import Encoding, encode, keygen
 from ..encoding.bgv import (
+    _encrypt_from_m,
     _encrypt_kernel,
     _lift_centered,
     _sample_uniform,
@@ -129,14 +130,29 @@ def _pad_slab(arr, slab: int):
 @partial(jax.jit, static_argnames=("ctx", "slab", "nslab"))
 def _encode_seeded_kernel(ctx: EncodingContext, s_ntt, slots_pad, key,
                           slab: int, nslab: int):
-    slots_r = slots_pad.reshape(nslab, slab, *slots_pad.shape[1:])
+    dense = ctx.ring.N > 1
+    if dense:
+        # hoist the per-term plaintext NTT storm out of the scan: one batched
+        # transform over the whole padded batch (the scan body then has no
+        # transform inside — scan-of-NTT programs hang the remote compiler,
+        # and the batched form maps better onto the chip anyway)
+        m_pad = plain_to_inner_ntt(ctx, slots_pad, level=0)
+        xs_data = m_pad.reshape(nslab, slab, *m_pad.shape[1:])
+    else:
+        # scalar fast path: keep the (NTT-free) broadcast inside the scan so
+        # the [B, L, L', N'] operand is never materialized in HBM
+        xs_data = slots_pad.reshape(nslab, slab, *slots_pad.shape[1:])
 
     def step(_, xs):
-        i, slots_i = xs
-        c0, _c1 = _encrypt_kernel(ctx, s_ntt, slots_i, jax.random.fold_in(key, i))
+        i, data_i = xs
+        k = jax.random.fold_in(key, i)
+        if dense:
+            c0, _c1 = _encrypt_from_m(ctx, s_ntt, data_i, k)
+        else:
+            c0, _c1 = _encrypt_kernel(ctx, s_ntt, data_i, k)
         return None, c0
 
-    _, c0 = jax.lax.scan(step, None, (jnp.arange(nslab), slots_r))
+    _, c0 = jax.lax.scan(step, None, (jnp.arange(nslab), xs_data))
     return c0.reshape(nslab * slab, ctx.L, ctx.L_inner, ctx.n_inner)
 
 
@@ -267,7 +283,10 @@ def _seeded_mac_kernel(
         c1s = _sample_uniform(ctx, _slab_c1_key(key, i), (slab,))
         out = []
         for (a0, a1), pt_slots in zip(accs, pt_slabs):
-            ptntt = plain_to_inner_ntt(ctx, pt_slots)  # [S, L, L', N']
+            if mode == "dense":
+                ptntt = pt_slots  # already [S, L, L', N'] operand form
+            else:
+                ptntt = plain_to_inner_ntt(ctx, pt_slots)  # [S, L, L', N']
             pr0 = mul_mod(c0s, ptntt, p, mu, b)
             pr1 = mul_mod(c1s, ptntt, p, mu, b)
             out.append(
@@ -298,6 +317,8 @@ def _seeded_mac_kernel(
             step_mxu, init, (jnp.arange(nslab), c0r) + ptsr
         )
         return accs
+    # "u64" (generic slot input) and "dense" (pre-NTT'd operand input) share
+    # the same scan body modulo the per-term transform
     zero = jnp.zeros((ctx.L, Lp, ctx.n_inner), dtype=jnp.uint64)
     init = tuple((zero, zero) for _ in range(n_pts))
     accs, _ = jax.lax.scan(step_u64, init, (jnp.arange(nslab), c0r) + ptsr)
@@ -308,6 +329,11 @@ def _seeded_mac_kernel(
         )
         for a0, a1 in accs
     )
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def _pre_ntt_kernel(ctx: EncodingContext, slots):
+    return plain_to_inner_ntt(ctx, slots, level=0)
 
 
 def seeded_inner_product(
@@ -332,9 +358,16 @@ def seeded_inner_product(
 
     pts_pad = tuple(pad_to(p.astype(jnp.uint32)) for p in pts)
     mode = _mac_mode()
+    scalar = all(p.shape[-1] == 1 for p in pts_pad) and ctx.ring.N == 1
     if mode == "auto":
-        scalar = all(p.shape[-1] == 1 for p in pts_pad) and ctx.ring.N == 1
         mode = "mxu" if (scalar and senc.slab <= 8192) else "u64"
+    if mode == "u64" and not scalar and ctx.ring.N > 1:
+        # dense (poly-ring) plaintexts: hoist the per-term NTTs out of the
+        # scan as one batched transform (see _encode_seeded_kernel)
+        pts_pad = tuple(
+            _pre_ntt_kernel(ctx, p_) for p_ in pts_pad
+        )
+        mode = "dense"
     accs = _seeded_mac_kernel(
         ctx, senc.c0, senc.key, pts_pad, senc.slab, len(pts), mode
     )
