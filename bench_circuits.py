@@ -6,7 +6,20 @@ each built with authentic values, proved with Rinocchio and/or ringGroth16,
 and timed.  Prints one JSON line per (circuit, system) plus [TIME] detail on
 stderr.
 
-Usage: python bench_circuits.py [--N 256] [--n-inner 1024] [--features 32]
+``--preset reference`` pins each circuit to the reference's benchmark
+configuration (VERDICT r2 missing #3):
+  plaintext-check: outer N=2048, inner N'=16384, logT=32
+      (`benchmarks/bench_plaintext_check_SEAL.cpp:19-34`)
+  ct-mul:          N=8192,  N'=16384  (`bench_mul_SEAL.cpp:38-49`)
+  in-circuit NTT:  N=4096,  N'=16384  (`bench_ntt_SEAL.cpp:39-55`)
+  logreg:          256 features, N=2048, N'=16384
+      (`bench_logistic_regression_inference.cpp:92-125`)
+
+Timing: every timed section ends by fetching a small dependent slice
+(relay-proof; see bench_prover.py).
+
+Usage: python bench_circuits.py [--preset reference] [--circuit NAME]
+       [--cpu] [--out results.json]
 """
 
 import argparse
@@ -17,15 +30,43 @@ import time
 import numpy as np
 
 
+def _sync(*arrays):
+    for a in arrays:
+        if a is None:
+            continue
+        np.asarray(a.reshape(-1)[:4])
+
+
+REFERENCE_SHAPES = {
+    # circuit: (outer N, inner N', logT-or-None, features-or-None)
+    "plaintext_check": (2048, 16384, 32, None),
+    "ct_mul": (8192, 16384, 16, None),
+    "incircuit_ntt": (4096, 16384, None, None),
+    "logreg": (2048, 16384, 16, 256),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--N", type=int, default=256)
     ap.add_argument("--n-inner", type=int, default=1024)
     ap.add_argument("--features", type=int, default=32)
     ap.add_argument("--logT", type=int, default=16)
+    ap.add_argument("--preset", choices=["custom", "reference"],
+                    default="custom")
+    ap.add_argument("--circuit", default=None,
+                    help="run only this circuit (default: all four)")
+    ap.add_argument("--system", default=None,
+                    choices=[None, "rinocchio", "groth16"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (default device is the "
+                         "axon TPU; env vars alone are ignored)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     from ringsnark_tpu.rings.context import default_context
     from ringsnark_tpu.encoding import EncodingContext
@@ -40,80 +81,117 @@ def main():
     )
     from ringsnark_tpu.ops.primes import find_ntt_primes
 
-    N = args.N
-    order = max(1 << 14, 2 * args.n_inner, 4 * N)
-    ring = default_context(L=2, N=N, order=order)
-    max_terms = max(4 * args.features + 8, N + 2, args.logT + 2)
-    L_inner, floor = plan_inner_chain(args.n_inner, 31, max_terms)
-    inner, below = [], 1 << 31
-    while len(inner) < L_inner:
-        c = find_ntt_primes(1, 2 * args.n_inner, below=below)[0]
-        below = c
-        if c not in ring.primes:
-            inner.append(c)
-    params = SnarkParams(
-        ring=ring,
-        enc=EncodingContext(
-            ring=ring, n_inner=args.n_inner, inner_primes=tuple(inner),
-            floor_limbs=floor,
+    builders = {
+        "plaintext_check": lambda ring, rng, logT, nf: build_plaintext_check(
+            ring, rng, log_t=logT
         ),
-    )
-    print(
-        f"[cfg] N={N} L=2, N'={args.n_inner} L'={L_inner} floor={floor} "
-        f"device={jax.devices()[0]}",
-        file=sys.stderr, flush=True,
-    )
-
-    rng = np.random.default_rng(0)
-    circuits = {
-        "plaintext_check": lambda: build_plaintext_check(ring, rng, log_t=args.logT),
-        "ct_mul": lambda: build_ct_mul(ring, rng, log_t=args.logT),
-        "incircuit_ntt": lambda: build_incircuit_ntt(ring, rng),
-        "logreg": lambda: build_logreg_inference(
-            ring, rng, num_features=args.features, log_t=args.logT
+        "ct_mul": lambda ring, rng, logT, nf: build_ct_mul(
+            ring, rng, log_t=logT
+        ),
+        "incircuit_ntt": lambda ring, rng, logT, nf: build_incircuit_ntt(
+            ring, rng
+        ),
+        "logreg": lambda ring, rng, logT, nf: build_logreg_inference(
+            ring, rng, num_features=nf, log_t=logT
         ),
     }
-    systems = {"rinocchio": rinocchio, "groth16": groth16}
 
-    for cname, build in circuits.items():
-        pb = build()
+    def make_params(N, n_inner, max_terms):
+        order = max(1 << 14, 2 * n_inner, 4 * N)
+        ring = default_context(L=2, N=N, order=order)
+        L_inner, floor = plan_inner_chain(n_inner, 31, max_terms,
+                                          dense=(N > 1))
+        inner, below = [], 1 << 31
+        while len(inner) < L_inner:
+            c = find_ntt_primes(1, 2 * n_inner, below=below)[0]
+            below = c
+            if c not in ring.primes:
+                inner.append(c)
+        return SnarkParams(
+            ring=ring,
+            enc=EncodingContext(
+                ring=ring, n_inner=n_inner, inner_primes=tuple(inner),
+                floor_limbs=floor,
+            ),
+        )
+
+    names = [args.circuit] if args.circuit else list(builders)
+    systems = {"rinocchio": rinocchio, "groth16": groth16}
+    if args.system:
+        systems = {args.system: systems[args.system]}
+    dev = jax.devices()[0]
+
+    for cname in names:
+        if args.preset == "reference":
+            N, n_inner, logT, nf = REFERENCE_SHAPES[cname]
+            logT = logT or args.logT
+            nf = nf or args.features
+        else:
+            N, n_inner, logT, nf = args.N, args.n_inner, args.logT, args.features
+        max_terms = max(4 * nf + 8, N + 2, logT + 2)
+        params = make_params(N, n_inner, max_terms)
+        ring = params.ring
+        print(
+            f"[cfg] {cname}: N={N} L=2, N'={n_inner} "
+            f"L'={params.enc.L_inner} floor={params.enc.floor_limbs} "
+            f"device={dev}",
+            file=sys.stderr, flush=True,
+        )
+        rng = np.random.default_rng(0)
+        pb = builders[cname](ring, rng, logT, nf)
         assert pb.is_satisfied(), f"{cname} witness invalid"
         for sname, system in systems.items():
             t0 = time.perf_counter()
             kp = system.generator(
                 pb.get_constraint_system(), params, rng, jax.random.PRNGKey(1)
             )
-            jax.block_until_ready(kp.pk.s_pows.c0)
+            _sync(kp.pk.s_pows.c0)
             setup_s = time.perf_counter() - t0
 
-            proof = system.prover(  # cold (compile) then warm
-                kp.pk, pb.primary_input(), pb.auxiliary_input(), rng
-            )
-            jax.block_until_ready(proof.A.c0)
-            t0 = time.perf_counter()
-            proof = system.prover(
-                kp.pk, pb.primary_input(), pb.auxiliary_input(), rng
-            )
-            jax.block_until_ready(proof.A.c0)
-            prove_s = time.perf_counter() - t0
+            def prove():
+                t0 = time.perf_counter()
+                proof = system.prover(
+                    kp.pk, pb.primary_input(), pb.auxiliary_input(),
+                    np.random.default_rng(7),
+                )
+                _sync(proof.A.c0, proof.B.c0, proof.C.c0)
+                return proof, time.perf_counter() - t0
 
-            t0 = time.perf_counter()
-            ok = system.verifier(kp.vk, pb.primary_input(), proof)
-            verify_s = time.perf_counter() - t0
+            proof, prove_cold = prove()
+            proof, prove_s = prove()
+
+            def verify():
+                t0 = time.perf_counter()
+                ok = system.verifier(kp.vk, pb.primary_input(), proof)
+                return ok, time.perf_counter() - t0
+
+            ok, verify_cold = verify()
             assert ok, f"{cname}/{sname} verification failed"
+            ok, verify_s = verify()
+            assert ok
             print(
                 f"[TIME] {cname:>16s}/{sname:<9s} setup {setup_s:7.2f}s  "
-                f"prove {prove_s:7.3f}s  verify {verify_s:6.2f}s  "
+                f"prove {prove_s:7.3f}s (cold {prove_cold:.1f}s)  "
+                f"verify {verify_s:6.2f}s (cold {verify_cold:.1f}s)  "
                 f"({pb.num_constraints()} constraints)",
                 file=sys.stderr, flush=True,
             )
-            print(json.dumps({
+            row = {
                 "metric": f"{cname}_{sname}",
                 "constraints": pb.num_constraints(),
+                "N": N, "n_inner": n_inner,
                 "setup_s": round(setup_s, 3),
                 "prove_s": round(prove_s, 4),
+                "prove_cold_s": round(prove_cold, 3),
                 "verify_s": round(verify_s, 3),
-            }), flush=True)
+                "verify_cold_s": round(verify_cold, 3),
+                "proof_bits": proof.size_in_bits(),
+                "device": str(dev),
+            }
+            print(json.dumps(row), flush=True)
+            if args.out:
+                with open(args.out, "a") as f:
+                    f.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":

@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--slab", type=int, default=4096)
     ap.add_argument("--phased", action="store_true",
                     help="generate+consume one CRS batch at a time (2^18)")
+    ap.add_argument("--phase-chunk", type=int, default=1 << 16,
+                    help="phased mode: rows of one CRS phase resident at a "
+                         "time (2^18's 12.9 GiB single-phase c0 OOMed r2; "
+                         "partial inner products accumulate at level 0)")
     ap.add_argument("--prng", choices=["threefry2x32", "rbg"], default="rbg")
     ap.add_argument("--margin", type=int, default=10,
                     help="noise planner margin bits (worst-case headroom; "
@@ -241,19 +245,54 @@ def main():
         print(f"[prove:witness-map] {wmap_s:.2f}s", file=sys.stderr, flush=True)
 
         def phase(name, ring_batch, enc_key, pts):
+            """Encode + consume one CRS phase in --phase-chunk row blocks so
+            peak residency is one block's c0, not the whole phase (12.9 GiB
+            at 2^18).  Partial inner products accumulate at level 0 — the
+            final modswitch chain runs once, so the result is bit-identical
+            to the unchunked schedule."""
             nonlocal t_setup, t_prove
+            B = ring_batch.res.shape[0]
+            chunk = max(args.slab, min(args.phase_chunk, B))
+            partials = None
+            for ci, lo in enumerate(range(0, B, chunk)):
+                sub = RingElem(ctx, ring_batch.res[lo : lo + chunk])
+                t0 = time.perf_counter()
+                senc = sd.encode_seeded(
+                    ectx, sk_enc, sub, jax.random.fold_in(enc_key, ci),
+                    args.slab,
+                )
+                _sync(senc.c0)
+                dt_s = time.perf_counter() - t0
+                t_setup += dt_s
+                t0 = time.perf_counter()
+                outs = sd.seeded_inner_product(
+                    senc, [pt[lo : lo + chunk] for pt in pts],
+                    use_modswitch=False,
+                )
+                if partials is None:
+                    partials = outs
+                else:
+                    partials = [a + b for a, b in zip(partials, outs)]
+                _sync(*[o.c0 for o in partials])
+                dt_p = time.perf_counter() - t0
+                t_prove += dt_p
+                print(
+                    f"[phase:{name}+{lo}] setup {dt_s:.2f}s prove {dt_p:.2f}s",
+                    file=sys.stderr, flush=True,
+                )
+                del senc
             t0 = time.perf_counter()
-            senc = sd.encode_seeded(ectx, sk_enc, ring_batch, enc_key, args.slab)
-            _sync(senc.c0)
-            dt_s = time.perf_counter() - t0
-            t_setup += dt_s
-            t0 = time.perf_counter()
-            outs = sd.seeded_inner_product(senc, pts, params.use_modswitch)
+            outs = []
+            max_level = (
+                max(ectx.L_inner - ectx.floor_limbs, 0)
+                if params.use_modswitch else 0
+            )
+            for e in partials:
+                for _ in range(max_level):
+                    e = e.modswitch()
+                outs.append(e)
             _sync(*[o.c0 for o in outs])
-            dt_p = time.perf_counter() - t0
-            t_prove += dt_p
-            print(f"[phase:{name}] setup {dt_s:.2f}s prove {dt_p:.2f}s",
-                  file=sys.stderr, flush=True)
+            t_prove += time.perf_counter() - t0
             return outs
 
         s_pows_ring = qrp.Ht
