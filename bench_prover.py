@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--prng", choices=["threefry2x32", "rbg"], default="rbg")
     ap.add_argument("--margin", type=int, default=10,
                     help="noise planner margin bits (worst-case headroom; "
-                         "7 fits 2^16 and 5 fits 2^18 in L'=3 at N'=4096 — "
+                         "6 fits 2^16 and 4 fits 2^18 (the float log2(B) epsilon tips exact limb boundaries) in L'=3 at N'=4096 — "
                          "validated empirically in tests/test_noise.py)")
     ap.add_argument("--cpu-slabs", type=int, default=4,
                     help="slabs to sample for the native CPU baseline")

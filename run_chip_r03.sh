@@ -11,11 +11,11 @@ run() {
     2>&1 | tee chip_logs/"$name".log | tail -4
   echo "=== $name exit=$? ===" | tee -a chip_logs/campaign.log
 }
-run zq16        --log-m 16 --margin 7
+run zq16        --log-m 16 --margin 6
 run zq18phased  --log-m 18 --margin 4 --phased --phase-chunk 65536
 run rq13        --ring rq --N 8192 --n-inner 16384 --log-m 13 --phased --phase-chunk 8192 --slab 1024 --cpu-slabs 2
 run rq14        --ring rq --N 8192 --n-inner 16384 --log-m 14 --phased --phase-chunk 8192 --slab 1024 --cpu-slabs 2
-run zq16L2      --log-m 16 --margin 7 --L 2
+run zq16L2      --log-m 16 --margin 6 --L 2
 run zq12        --log-m 12
 # env-prefix on a bash function leaks the var into the caller; keep this LAST
-RINGSNARK_MAC_BACKEND=u64 run zq16u64mac --log-m 16 --margin 7 --skip-warm-setup
+RINGSNARK_MAC_BACKEND=u64 run zq16u64mac --log-m 16 --margin 6 --skip-warm-setup
