@@ -100,14 +100,15 @@ def build_synthetic_square_chain(
     assign[0] = np.stack(
         [rng.integers(0, p, n, dtype=np.uint64) for p in ctx.primes]
     ).astype(np.uint32)
-    p, mu, pb = ctx.p, ctx.mu, ctx.pbits
-
-    def step(x, _):
-        nx = mul_mod(x, x, p, mu, pb)
-        return nx, nx
-
-    _, ys = jax.lax.scan(step, jnp.asarray(assign[0]), None, length=nv - 1)
-    assign[1:] = np.asarray(ys)
+    # host numpy chain (slot form -> elementwise square mod p per limb).
+    # A lax.scan of length 2^16+ costs minutes of compile through the axon
+    # relay; this loop is <1s even at 2^18 and bit-identical (p < 2^31 so
+    # x*x fits u64).
+    primes = np.asarray(ctx.primes, dtype=np.uint64).reshape(ctx.L, 1)
+    x = assign[0].astype(np.uint64)
+    for i in range(1, nv):
+        x = (x * x) % primes
+        assign[i] = x.astype(np.uint32)
     comp = CompiledR1CS(
         ctx=ctx,
         num_constraints=m,
