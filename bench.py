@@ -18,10 +18,12 @@ The relay also adds ~20-30 ms FIXED overhead per sync (measured by the
 round-3 probes), so per-batch time comes from the SLOPE across three total
 work sizes: one compiled REP-iteration unrolled chain (dynamic-trip-count
 loops hang the remote Mosaic/XLA compiler, so the chain is unrolled) is
-dispatched K = 1, 4, 16 times back-to-back self-dependently with a single
-dependent fetch at the end — dispatches pipeline on device, so the fixed
-overhead is paid once per measurement: dt = (T_16 - T_4) / (12*REP).  The
-two slopes (1->4 and 4->16) must agree within 40% (REP-linearity under
+dispatched K = 1, 4, 16, 64 times back-to-back self-dependently with a
+single dependent fetch at the end — dispatches pipeline on device, so the
+fixed overhead is paid once per measurement: dt = (T_64 - T_16) / (48*REP)
+(the deep ladder keeps true device work >> the relay's ~6 ms of extra
+flow-control overhead that appears past ~16 queued dispatches).  The last
+two slopes (4->16 and 16->64) must agree within 40% (REP-linearity under
 offset) or the bench FAILS, and the achieved rate must sit at or below the
 printed HBM/ALU rooflines or the bench FAILS — an artifact like r2's
 4915%-of-peak number can no longer be emitted.
@@ -161,8 +163,9 @@ def main():
         t1 = best_of(chain, x, 1)
         t4 = best_of(chain, x, 4)
         t16 = best_of(chain, x, 16)
-        slope_a = max(t4 - t1, 1e-12) / (3 * REP)
-        slope_b = max(t16 - t4, 1e-12) / (12 * REP)
+        t64 = best_of(chain, x, 64)
+        slope_a = max(t16 - t4, 1e-12) / (12 * REP)
+        slope_b = max(t64 - t16, 1e-12) / (48 * REP)
         linearity = slope_b / slope_a
         dt = slope_b
         overhead = t1 - REP * dt
