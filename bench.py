@@ -245,8 +245,8 @@ def main():
         return time.perf_counter() - t0, base_out
 
     if native.available():
+        n_thr = native.max_threads()  # before set_threads(1) caps the report
         dt_1core, base_out = run_native(1)
-        n_thr = native.max_threads()
         dt_socket, _ = run_native(n_thr)
         dt_socket = min(dt_socket, run_native(n_thr)[0])  # warm re-run
         base_kind = f"native-cpp ({n_thr} threads)"
