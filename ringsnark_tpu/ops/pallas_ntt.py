@@ -169,7 +169,7 @@ def _submod(a, b, p):
 
 def _ntt_kernel_gridfree(
     M: int, TB: int, primes: tuple[int, ...], inverse: bool, negacyclic: bool,
-    minv: tuple, minv_sh: tuple, scale: bool = True,
+    minv: tuple, minv_sh: tuple, scale: bool = True, blm: bool = False,
 ):
     """Grid-free kernel: one program transforms [L, TB, M] entirely in VMEM.
 
@@ -214,7 +214,9 @@ def _ntt_kernel_gridfree(
         lane_idx = jax.lax.broadcasted_iota(jnp.uint32, (TB, M), 1)
         for l in range(L):
             p = jnp.uint32(primes[l])
-            x = x_ref[l]  # (TB, M)
+            # blm layout: the block is [TB, L, M] (caller-natural order, no
+            # HBM transpose) and the limb is the squeezed middle index
+            x = x_ref[:, l, :] if blm else x_ref[l]  # (TB, M)
             if not inverse:
                 if negacyclic:
                     x = _shoup_mul(x, scale_ref[l], scale_sh_ref[l], p)
@@ -227,7 +229,10 @@ def _ntt_kernel_gridfree(
                     x = _shoup_mul(
                         x, jnp.uint32(minv[l]), jnp.uint32(minv_sh[l]), p
                     )
-            out_ref[l] = x
+            if blm:
+                out_ref[:, l, :] = x
+            else:
+                out_ref[l] = x
 
     return kernel
 
@@ -267,10 +272,51 @@ def _apply_lbm(xt, tables: PallasNTTTables, tb: int, inverse: bool,
     return jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
 
 
+import os as _os
+
+# blm (default): kernel blocks are [tb, L, M] slices of the caller's array —
+# no HBM transpose on either side (2 full-array round-trips saved per
+# transform).  RINGSNARK_PALLAS_LAYOUT=lbm restores the round-2 transposed
+# path (fallback if a remote Mosaic build rejects squeezed middle-index
+# loads).
+_LAYOUT = _os.environ.get("RINGSNARK_PALLAS_LAYOUT", "blm")
+
+
+def _apply_blm(x, tables: PallasNTTTables, tb: int, inverse: bool,
+               negacyclic: bool, interpret: bool = False):
+    """x: uint32[B, L, M] -> same layout, transpose-free."""
+    B, L, M = x.shape
+    assert L == tables.L and M == tables.M
+    assert B % tb == 0 and tb % 8 == 0, f"batch tile {tb} must be 8-aligned"
+    kernel = _ntt_kernel_gridfree(
+        M, tb, tables.primes, inverse, negacyclic,
+        tables.minv, tables.minv_sh, blm=True,
+    )
+    if not inverse:
+        tbl = (tables.pos_tw, tables.pos_tw_sh, tables.psi, tables.psi_sh)
+    else:
+        tbl = (tables.inv_pos_tw, tables.inv_pos_tw_sh,
+               tables.psiinv_s, tables.psiinv_s_sh)
+    tbl_args = tuple(jnp.asarray(t) for t in tbl)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tb, L, M), jnp.uint32),
+        interpret=interpret,
+    )
+    chunks = [
+        call(x[c * tb : (c + 1) * tb], *tbl_args) for c in range(B // tb)
+    ]
+    return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+
+
 @partial(jax.jit, static_argnames=("tables", "tb", "inverse", "negacyclic", "interpret"))
 def _apply(x, tables: PallasNTTTables, tb: int, inverse: bool,
            negacyclic: bool, interpret: bool = False):
     """x: uint32[B, L, M]; grid-free chunked application (see module doc)."""
+    if _LAYOUT == "blm":
+        return _apply_blm(x, tables, tb, inverse, negacyclic, interpret)
     xt = jnp.transpose(x, (1, 0, 2))  # [L, B, M]
     full = _apply_lbm(xt, tables, tb, inverse, negacyclic, interpret)
     return jnp.transpose(full, (1, 0, 2))
