@@ -150,7 +150,10 @@ def main():
         setup_s = setup_cold
         if not args.skip_warm_setup:
             # identical static shapes -> fully warm; separates jit compile
-            # time (the cold-warm gap) from the real setup work
+            # time (the cold-warm gap) from the real setup work.  Release the
+            # cold CRS first: HBM holds ~one CRS at 2^16 (9 GiB), and two
+            # live keypairs OOM'd the r3 campaign's first zq16 attempt.
+            kp = None
             kp, setup_s = setup(np.random.default_rng(1))
         pk_bits = kp.pk.size_in_bits()
         print(f"[setup] {setup_s:.2f}s (cold incl. compile {setup_cold:.1f}s, "

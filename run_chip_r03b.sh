@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round-3 follow-up chip runs (after run_chip_r03.sh):
+#   zq16    — rerun with the warm-setup CRS release fix (first attempt held
+#             two 9 GiB CRSs live and OOM'd)
+#   zq16L2  — L=2 CRS is ~18 GiB > HBM, so it must run PHASED
+# set -o pipefail so a failing bench is reported as such (the r03 runner
+# reported tee/tail's exit status and masked the zq16 OOM as exit=0).
+set -o pipefail
+export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
+mkdir -p chip_logs
+run() {
+  name="$1"; shift
+  echo "=== $name: $* ===" | tee -a chip_logs/campaign.log
+  timeout 3600 python bench_prover.py "$@" --out BENCH_PROVER_r03.json \
+    2>&1 | tee chip_logs/"$name".log | tail -4
+  echo "=== $name exit=$? ===" | tee -a chip_logs/campaign.log
+}
+run zq16        --log-m 16 --margin 6
+run zq16L2ph    --log-m 16 --margin 6 --L 2 --phased --phase-chunk 32768
