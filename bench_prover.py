@@ -233,30 +233,44 @@ def main():
         t_setup += time.perf_counter() - t0
         print(f"[setup:common] {t_setup:.2f}s", file=sys.stderr, flush=True)
 
-        # witness map (prover side, once)
-        t0 = time.perf_counter()
-        full, io, mid = _assignment_batches(ctx, primary, aux)
-        zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
-        (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = _witness_map_kernel(
-            comp, full.res, io.res, mid.res, zero, zero, zero, domain
-        )
-        a_full = add_mod(a_io, a_mid, ctx.p)
-        b_full = add_mod(b_io, b_mid, ctx.p)
-        _sync(a_full, b_full, H)
-        wmap_s = time.perf_counter() - t0
+        # witness map (prover side): cold run includes the split-path jit
+        # compile (dominant at 2^18 through the relay); the warm rerun on the
+        # same static shapes is the real per-proof cost (VERDICT r2 #9)
+        def wmap_once():
+            t0 = time.perf_counter()
+            full, io, mid = _assignment_batches(ctx, primary, aux)
+            zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
+            (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = _witness_map_kernel(
+                comp, full.res, io.res, mid.res, zero, zero, zero, domain
+            )
+            a_full = add_mod(a_io, a_mid, ctx.p)
+            b_full = add_mod(b_io, b_mid, ctx.p)
+            _sync(a_full, b_full, H)
+            return (a_full, b_full, H, aux), time.perf_counter() - t0
+
+        (a_full, b_full, H, _), wmap_cold_s = wmap_once()
+        (a_full, b_full, H, _), wmap_s = wmap_once()
         t_prove += wmap_s
-        print(f"[prove:witness-map] {wmap_s:.2f}s", file=sys.stderr, flush=True)
+        print(f"[prove:witness-map] {wmap_s:.2f}s (cold incl. compile "
+              f"{wmap_cold_s:.2f}s)", file=sys.stderr, flush=True)
+
+        t_setup_warm = 0.0
+        t_prove_warm = 0.0
 
         def phase(name, ring_batch, enc_key, pts):
             """Encode + consume one CRS phase in --phase-chunk row blocks so
             peak residency is one block's c0, not the whole phase (12.9 GiB
             at 2^18).  Partial inner products accumulate at level 0 — the
             final modswitch chain runs once, so the result is bit-identical
-            to the unchunked schedule."""
-            nonlocal t_setup, t_prove
+            to the unchunked schedule.  Chunks within a phase share static
+            shapes, so chunk 0 carries the jit compile; the *_warm totals
+            substitute the median of chunks 1+ for it (per-proof marginal
+            cost, matching the unphased path's warm semantics)."""
+            nonlocal t_setup, t_prove, t_setup_warm, t_prove_warm
             B = ring_batch.res.shape[0]
             chunk = max(args.slab, min(args.phase_chunk, B))
             partials = None
+            chunk_s, chunk_p = [], []
             for ci, lo in enumerate(range(0, B, chunk)):
                 sub = RingElem(ctx, ring_batch.res[lo : lo + chunk])
                 t0 = time.perf_counter()
@@ -267,6 +281,7 @@ def main():
                 _sync(senc.c0)
                 dt_s = time.perf_counter() - t0
                 t_setup += dt_s
+                chunk_s.append(dt_s)
                 t0 = time.perf_counter()
                 outs = sd.seeded_inner_product(
                     senc, [pt[lo : lo + chunk] for pt in pts],
@@ -279,11 +294,20 @@ def main():
                 _sync(*[o.c0 for o in partials])
                 dt_p = time.perf_counter() - t0
                 t_prove += dt_p
+                chunk_p.append(dt_p)
                 print(
                     f"[phase:{name}+{lo}] setup {dt_s:.2f}s prove {dt_p:.2f}s",
                     file=sys.stderr, flush=True,
                 )
                 del senc
+            for ts, acc in ((chunk_s, "s"), (chunk_p, "p")):
+                warm = (sorted(ts[1:])[len(ts[1:]) // 2]
+                        if len(ts) > 1 else ts[0])
+                tot = warm + sum(ts[1:])
+                if acc == "s":
+                    t_setup_warm += tot
+                else:
+                    t_prove_warm += tot
             t0 = time.perf_counter()
             outs = []
             max_level = (
@@ -295,7 +319,9 @@ def main():
                     e = e.modswitch()
                 outs.append(e)
             _sync(*[o.c0 for o in outs])
-            t_prove += time.perf_counter() - t0
+            dt_ms = time.perf_counter() - t0
+            t_prove += dt_ms
+            t_prove_warm += dt_ms
             return outs
 
         s_pows_ring = qrp.Ht
@@ -315,8 +341,11 @@ def main():
             A=A_ip + alpha_enc, B=B_ip + beta_enc, C=C_ip + mid_ip
         )
         _sync(proof.A.c0, proof.C.c0)
-        t_prove += time.perf_counter() - t0
-        print(f"[totals] setup {t_setup:.2f}s prove {t_prove:.2f}s",
+        dt_fin = time.perf_counter() - t0
+        t_prove += dt_fin
+        t_prove_warm += dt_fin + wmap_s  # t_prove got wmap_s at the wmap step
+        print(f"[totals] setup {t_setup:.2f}s prove {t_prove:.2f}s "
+              f"(warm: setup {t_setup_warm:.2f}s prove {t_prove_warm:.2f}s)",
               file=sys.stderr, flush=True)
 
         # verify via a CRS-less SeededProvingKey (verifier touches only
@@ -334,9 +363,12 @@ def main():
         print(f"[verify] {verify_s:.2f}s passed={ok}", file=sys.stderr, flush=True)
         assert ok
         result.update(
-            value=round(t_prove, 4), setup_s=round(t_setup, 2),
+            value=round(t_prove_warm, 4),
+            prove_cold_s=round(t_prove + (wmap_cold_s - wmap_s), 2),
+            setup_s=round(t_setup_warm, 2), setup_cold_s=round(t_setup, 2),
             verify_s=round(verify_s, 2), proof_bits=proof.size_in_bits(),
             witness_map_s=round(wmap_s, 3),
+            witness_map_cold_s=round(wmap_cold_s, 2),
         )
 
     # ---- native CPU baseline (same-algorithm MAC, sampled + scaled) --------

@@ -17,3 +17,6 @@ run() {
 }
 run zq16        --log-m 16 --margin 6
 run zq16L2ph    --log-m 16 --margin 6 --L 2 --phased --phase-chunk 32768
+# rerun with the warm/cold split (first pass measured witness-map compile as
+# prover time: 250.5s of the 285.7s at 2^18 was the split-path jit compile)
+run zq18phased2 --log-m 18 --margin 4 --phased --phase-chunk 65536
