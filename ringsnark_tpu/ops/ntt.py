@@ -273,9 +273,27 @@ def set_backend(name: str) -> str:
 
 
 _PALLAS_TB = int(_os.environ.get("RINGSNARK_PALLAS_TB", 8))
-# VMEM estimate per call: 4 * Lc * M * (2*tb + 30) bytes (io + the
-# positioned all-stage twiddle tables + scale rows); stay under ~13 MB
-_PALLAS_VMEM_WORDS = 3_200_000
+# Scoped-VMEM model for the grid-free kernel, fitted to Mosaic's reported
+# allocations (r3: [8,4,16384] blm block = 19.59M vs the 16M limit):
+#   bytes(Lc) = 4*M*(2*Lc*stages [twiddles] + 2*Lc [scale rows]
+#               + 2*Lc*TB [io blocks] + C*TB [live stage temps])
+# with C ~= 14 empirically.  Chunk the limb axis to stay under the cap.
+_PALLAS_VMEM_BYTES = int(_os.environ.get("RINGSNARK_PALLAS_VMEM", 14_500_000))
+_PALLAS_TEMP_ROWS = int(_os.environ.get("RINGSNARK_PALLAS_TEMP_ROWS", 14))
+
+
+def _gridfree_max_lc(m_eff: int, L: int, tb: int) -> int:
+    stages = m_eff.bit_length() - 1
+
+    def bytes_(lc):
+        return 4 * m_eff * (
+            2 * lc * stages + 2 * lc + 2 * lc * tb + _PALLAS_TEMP_ROWS * tb
+        )
+
+    lc = 1
+    while lc < L and bytes_(lc + 1) <= _PALLAS_VMEM_BYTES:
+        lc += 1
+    return lc
 # Largest M the grid-free single-program kernel can hold: the Mosaic scoped-
 # VMEM stack grows ~linearly with M (measured: 37.4 MB at M=131072 vs the
 # 16 MB limit => ~9.4 MB at 32768).  Above this, route through the split
@@ -328,7 +346,7 @@ def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
 
     # chunk the limb axis so tables + buffers fit VMEM
     m_eff = _SPLIT_MI if split else M
-    max_lc = max(1, _PALLAS_VMEM_WORDS // (m_eff * (2 * _PALLAS_TB + 30)))
+    max_lc = _gridfree_max_lc(m_eff, L, _PALLAS_TB)
     outs = []
     for lo in range(0, L, max_lc):
         sub = tuple(plan.primes[lo : lo + max_lc])

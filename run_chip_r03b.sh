@@ -17,6 +17,10 @@ run() {
 }
 run zq16        --log-m 16 --margin 6
 run zq16L2ph    --log-m 16 --margin 6 --L 2 --phased --phase-chunk 32768
+# rq reruns: first attempts crashed on the blm kernel's scoped-VMEM limit at
+# M'=16384 (fixed by the fitted limb-chunk model in ops/ntt.py, chip-validated)
+run rq13        --ring rq --N 8192 --n-inner 16384 --log-m 13 --phased --phase-chunk 8192 --slab 1024 --cpu-slabs 2
+run rq14        --ring rq --N 8192 --n-inner 16384 --log-m 14 --phased --phase-chunk 8192 --slab 1024 --cpu-slabs 2
 # rerun with the warm/cold split (first pass measured witness-map compile as
 # prover time: 250.5s of the 285.7s at 2^18 was the split-path jit compile)
 run zq18phased2 --log-m 18 --margin 4 --phased --phase-chunk 65536
