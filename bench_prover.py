@@ -154,7 +154,14 @@ def main():
             # cold CRS first: HBM holds ~one CRS at 2^16 (9 GiB), and two
             # live keypairs OOM'd the r3 campaign's first zq16 attempt.
             kp = None
-            kp, setup_s = setup(np.random.default_rng(1))
+            time.sleep(10)  # relay buffer frees are async; let them land
+            try:
+                kp, setup_s = setup(np.random.default_rng(1))
+            except Exception as e:
+                print(f"[setup] warm rerun OOM ({type(e).__name__}); "
+                      "retrying after 60s settle", file=sys.stderr, flush=True)
+                time.sleep(60)
+                kp, setup_s = setup(np.random.default_rng(1))
         pk_bits = kp.pk.size_in_bits()
         print(f"[setup] {setup_s:.2f}s (cold incl. compile {setup_cold:.1f}s, "
               f"pk c0 {pk_bits/8/2**30:.2f} GiB)",
