@@ -300,6 +300,15 @@ def _gridfree_max_lc(m_eff: int, L: int, tb: int) -> int:
 # (outer-stages + folded inner batch) path with inner size _SPLIT_MI.
 _GRIDFREE_MAX_M = int(_os.environ.get("RINGSNARK_PALLAS_MAX_GRIDFREE_M", 32768))
 _SPLIT_MI = int(_os.environ.get("RINGSNARK_PALLAS_SPLIT_MI", 16384))
+# The remote compiler rejects gridded pallas_call, so batches unroll into
+# sequential calls whose compiled bodies are NOT deduplicated: at Rq witness-
+# map shapes (batch 8192, M'=16384) the program serialized to 4.77 GB and
+# failed ("Failed to serialize TpuExecutableProto").  Cap the unrolled
+# call-volume estimate (calls * limb-chunks * stage-size); past it, the XLA
+# path compiles O(graph)-sized programs and stays the honest fallback.
+_PALLAS_MAX_CALL_UNITS = int(
+    _os.environ.get("RINGSNARK_PALLAS_MAX_CALL_UNITS", 1 << 23)
+)
 
 
 def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
@@ -347,6 +356,9 @@ def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
     # chunk the limb axis so tables + buffers fit VMEM
     m_eff = _SPLIT_MI if split else M
     max_lc = _gridfree_max_lc(m_eff, L, _PALLAS_TB)
+    n_calls = ((B0 + pad) // _PALLAS_TB) * -(-L // max_lc)
+    if n_calls * m_eff > _PALLAS_MAX_CALL_UNITS:
+        return None  # unrolled program would be too large; use XLA
     outs = []
     for lo in range(0, L, max_lc):
         sub = tuple(plan.primes[lo : lo + max_lc])
