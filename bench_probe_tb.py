@@ -37,9 +37,20 @@ def _sync(v):
     return np.asarray(jax.device_get(v[0, 0, :4]))
 
 
+from ringsnark_tpu.ops import pallas_ntt as pntt
+
+configs = []
+for a in sys.argv[1:]:
+    tb_s, _, lay = a.partition(":")
+    configs.append((int(tb_s), lay or "blm"))
+if not configs:
+    configs = [(8, "blm"), (16, "blm"), (32, "blm"),
+               (8, "lbm"), (16, "lbm"), (32, "lbm")]
+
 want = None
-for tb in (int(a) for a in sys.argv[1:] or (8, 16, 32)):
+for tb, layout in configs:
     nttm._PALLAS_TB = tb
+    pntt._LAYOUT = layout
     prev = nttm.set_backend("pallas")
 
     @jax.jit
@@ -69,16 +80,16 @@ for tb in (int(a) for a in sys.argv[1:] or (8, 16, 32)):
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
-        t1, t4, t16 = best(1), best(4), best(16)
-        dt = (t16 - t4) / (12 * REP)
-        lin = dt / max((t4 - t1) / (3 * REP), 1e-12)
+        t4, t16, t64 = best(4), best(16), best(64)
+        dt = (t64 - t16) / (48 * REP)
+        lin = dt / max((t16 - t4) / (12 * REP), 1e-12)
         print(
-            f"[probe-tb] tb={tb}: {dt*1e6:.1f} us/batch "
+            f"[probe-tb] tb={tb} {layout}: {dt*1e6:.1f} us/batch "
             f"(lin {lin:.2f}, compile {comp:.1f}s)",
             file=sys.stderr, flush=True,
         )
     except Exception as e:
-        print(f"[probe-tb] tb={tb}: FAILED {type(e).__name__}: {str(e)[:200]}",
+        print(f"[probe-tb] tb={tb} {layout}: FAILED {type(e).__name__}: {str(e)[:200]}",
               file=sys.stderr, flush=True)
     finally:
         nttm.set_backend(prev)

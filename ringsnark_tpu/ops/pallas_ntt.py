@@ -311,11 +311,12 @@ def _apply_blm(x, tables: PallasNTTTables, tb: int, inverse: bool,
     return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
 
 
-@partial(jax.jit, static_argnames=("tables", "tb", "inverse", "negacyclic", "interpret"))
+@partial(jax.jit, static_argnames=("tables", "tb", "inverse", "negacyclic",
+                                   "interpret", "layout"))
 def _apply(x, tables: PallasNTTTables, tb: int, inverse: bool,
-           negacyclic: bool, interpret: bool = False):
+           negacyclic: bool, interpret: bool = False, layout: str = "blm"):
     """x: uint32[B, L, M]; grid-free chunked application (see module doc)."""
-    if _LAYOUT == "blm":
+    if layout == "blm":
         return _apply_blm(x, tables, tb, inverse, negacyclic, interpret)
     xt = jnp.transpose(x, (1, 0, 2))  # [L, B, M]
     full = _apply_lbm(xt, tables, tb, inverse, negacyclic, interpret)
@@ -323,19 +324,23 @@ def _apply(x, tables: PallasNTTTables, tb: int, inverse: bool,
 
 
 def negacyclic_ntt_rev_pallas(x, tables, tb: int = 8, interpret: bool = False):
-    return _apply(x, tables, tb, inverse=False, negacyclic=True, interpret=interpret)
+    return _apply(x, tables, tb, inverse=False, negacyclic=True,
+                  interpret=interpret, layout=_LAYOUT)
 
 
 def negacyclic_intt_nat_pallas(x, tables, tb: int = 8, interpret: bool = False):
-    return _apply(x, tables, tb, inverse=True, negacyclic=True, interpret=interpret)
+    return _apply(x, tables, tb, inverse=True, negacyclic=True,
+                  interpret=interpret, layout=_LAYOUT)
 
 
 def cyclic_ntt_rev_pallas(x, tables, tb: int = 8, interpret: bool = False):
-    return _apply(x, tables, tb, inverse=False, negacyclic=False, interpret=interpret)
+    return _apply(x, tables, tb, inverse=False, negacyclic=False,
+                  interpret=interpret, layout=_LAYOUT)
 
 
 def cyclic_intt_nat_pallas(x, tables, tb: int = 8, interpret: bool = False):
-    return _apply(x, tables, tb, inverse=True, negacyclic=False, interpret=interpret)
+    return _apply(x, tables, tb, inverse=True, negacyclic=False,
+                  interpret=interpret, layout=_LAYOUT)
 
 
 # ---------------------------------------------------------------------------
