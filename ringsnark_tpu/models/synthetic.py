@@ -75,6 +75,37 @@ def build_synthetic_mul_chain(
     return comp, primary, auxiliary
 
 
+def _device_square_chain(ctx: RingContext, x0: np.ndarray, nv: int):
+    """[nv, L, n] squaring-chain assignment computed on device.
+
+    Row i is x0^(2^i) slot-wise.  Exponents are reduced mod (p-1) on host
+    (Fermat; exact for slot value 0 too since the reduced exponent is never
+    0), then applied as a masked product over the 31 squared-basis arrays.
+    Avoids both the relay transfer of the full assignment and a length-nv
+    lax.scan compile.
+    """
+    import jax.numpy as jnp
+
+    L, n = x0.shape
+    p, mu, pb = ctx.p, ctx.mu, ctx.pbits
+    exps = np.zeros((nv, L), dtype=np.uint64)
+    for l, q in enumerate(ctx.primes):
+        e = 1
+        for i in range(nv):
+            exps[i, l] = e
+            e = (e * 2) % (q - 1)
+    nbits = max(int(q).bit_length() for q in ctx.primes)
+    x = jnp.asarray(x0)  # [L, n]
+    acc = None
+    for b in range(nbits):
+        bit = jnp.asarray(((exps >> np.uint64(b)) & np.uint64(1)).astype(np.uint32))
+        term = jnp.where(bit[:, :, None] == 1, x[None], jnp.uint32(1))
+        acc = term if acc is None else mul_mod(acc, term, p, mu, pb)
+        if b + 1 < nbits:
+            x = mul_mod(x, x, p, mu, pb)
+    return acc
+
+
 def build_synthetic_square_chain(
     ctx: RingContext,
     num_constraints: int,
@@ -96,19 +127,28 @@ def build_synthetic_square_chain(
     ones = jnp.ones((m, ctx.L, 1), dtype=jnp.uint32)
 
     n = ctx.N
-    assign = np.empty((nv, ctx.L, n), dtype=np.uint32)
-    assign[0] = np.stack(
+    x0 = np.stack(
         [rng.integers(0, p, n, dtype=np.uint64) for p in ctx.primes]
     ).astype(np.uint32)
-    # host numpy chain (slot form -> elementwise square mod p per limb).
-    # A lax.scan of length 2^16+ costs minutes of compile through the axon
-    # relay; this loop is <1s even at 2^18 and bit-identical (p < 2^31 so
-    # x*x fits u64).
-    primes = np.asarray(ctx.primes, dtype=np.uint64).reshape(ctx.L, 1)
-    x = assign[0].astype(np.uint64)
-    for i in range(1, nv):
-        x = (x * x) % primes
-        assign[i] = x.astype(np.uint32)
+    if nv * ctx.L * n * 4 > (64 << 20):
+        # Rq scale: [nv, L, n] is hundreds of MB, and the axon relay pipe
+        # moves ~0.3 MB/s (rq13's 268 MB host build took ~790 s to ship).
+        # Generate on device instead: row i = x0^(2^i) as a batched modpow
+        # with host-reduced exponents (2^i mod (p-1) per limb) — 31 unrolled
+        # squarings + 31 masked multiplies, no length-nv scan to compile.
+        assign = _device_square_chain(ctx, x0, nv)
+    else:
+        # host numpy chain (slot form -> elementwise square mod p per limb).
+        # A lax.scan of length 2^16+ costs minutes of compile through the
+        # axon relay; this loop is <1s even at 2^18 and bit-identical
+        # (p < 2^31 so x*x fits u64).
+        assign = np.empty((nv, ctx.L, n), dtype=np.uint32)
+        assign[0] = x0
+        primes = np.asarray(ctx.primes, dtype=np.uint64).reshape(ctx.L, 1)
+        x = x0.astype(np.uint64)
+        for i in range(1, nv):
+            x = (x * x) % primes
+            assign[i] = x.astype(np.uint32)
     comp = CompiledR1CS(
         ctx=ctx,
         num_constraints=m,
