@@ -203,7 +203,7 @@ def main():
         from ringsnark_tpu.ops.modops import add_mod
         from ringsnark_tpu.reductions.r1cs_to_qrp import (
             r1cs_to_qrp_instance_map_with_evaluation, _assignment_batches,
-            _witness_map_kernel,
+            witness_map_kernel_chunked,
         )
         from ringsnark_tpu.utils.poly_arr import ring_batch_scale
 
@@ -247,7 +247,7 @@ def main():
             t0 = time.perf_counter()
             full, io, mid = _assignment_batches(ctx, primary, aux)
             zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
-            (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = _witness_map_kernel(
+            (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
                 comp, full.res, io.res, mid.res, zero, zero, zero, domain
             )
             a_full = add_mod(a_io, a_mid, ctx.p)

@@ -211,6 +211,36 @@ def r1cs_to_qrp_witness_map(
     )
 
 
+def witness_map_kernel_chunked(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
+                               domain, slot_chunk: int = 128):
+    """_witness_map_kernel over slot-axis chunks (Rq rings).
+
+    The witness map is independent per slot, but TPU codegen for the full
+    [.., L, n] batch scales with n: at n = 8192 the compiled program reached
+    ~3 GB and the remote compiler could not serialize it.  Chunking the slot
+    axis compiles ONE ~n/slot_chunk-times-smaller program and reuses it.
+    Bit-identical to the unchunked kernel (slots never interact)."""
+    n = z_full.shape[-1]
+    if n <= slot_chunk:
+        return _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
+                                   domain)
+    assert n % slot_chunk == 0, (n, slot_chunk)
+    parts = [
+        _witness_map_kernel(
+            comp, z_full[..., lo:lo + slot_chunk], z_io[..., lo:lo + slot_chunk],
+            z_mid[..., lo:lo + slot_chunk], d1r, d2r, d3r, domain,
+        )
+        for lo in range(0, n, slot_chunk)
+    ]
+    out = []
+    for i in range(8):
+        if i == 6:  # Z is a slot-independent [M+1, L, 1] constant
+            out.append(parts[0][i])
+        else:
+            out.append(jnp.concatenate([p[i] for p in parts], axis=-1))
+    return tuple(out)
+
+
 @partial(jax.jit, static_argnames=("domain",))
 def _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r, domain):
     ctx = comp.ctx

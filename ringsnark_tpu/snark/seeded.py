@@ -50,7 +50,7 @@ from ..ops.modops import mul_mod, add_mod, barrett_reduce_u64
 from ..reductions.r1cs_to_qrp import (
     r1cs_to_qrp_instance_map_with_evaluation,
     _assignment_batches,
-    _witness_map_kernel,
+    witness_map_kernel_chunked,
 )
 from ..relations.r1cs import CompiledR1CS
 from ..rings.elem import RingElem
@@ -492,7 +492,7 @@ def prover_seeded(
     ums = pk.params.use_modswitch
     full, io, mid = _assignment_batches(ctx, primary_input, auxiliary_input)
     zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
-    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = _witness_map_kernel(
+    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
         pk.compiled, full.res, io.res, mid.res, zero, zero, zero, pk.domain
     )
     a_full = add_mod(a_io, a_mid, ctx.p)
