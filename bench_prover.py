@@ -355,6 +355,15 @@ def main():
               f"(warm: setup {t_setup_warm:.2f}s prove {t_prove_warm:.2f}s)",
               file=sys.stderr, flush=True)
 
+        # free the prover's Rq-scale intermediates before verify: at N=8192
+        # the QRP eval / witness-poly / phase ring batches still referenced
+        # here total ~6-8 GiB, and the verifier's eager io-interpolation
+        # OOM'd HBM next to them (rq14 first pass)
+        del a_full, b_full, H, full, io, mid, qrp, combo, aux
+        del s_pows_ring, delta_ts_ring, delta_mid_ring
+        del A_ip, B_ip, C_ip, mid_ip
+        time.sleep(5)  # relay frees are async
+
         # verify via a CRS-less SeededProvingKey (verifier touches only
         # compiled/domain/params/gamma_io)
         pk = sd.SeededProvingKey(
