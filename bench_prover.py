@@ -359,7 +359,7 @@ def main():
         # the QRP eval / witness-poly / phase ring batches still referenced
         # here total ~6-8 GiB, and the verifier's eager io-interpolation
         # OOM'd HBM next to them (rq14 first pass)
-        del a_full, b_full, H, full, io, mid, qrp, combo, aux
+        del a_full, b_full, H, qrp, combo, aux
         del s_pows_ring, delta_ts_ring, delta_mid_ring
         del A_ip, B_ip, C_ip, mid_ip
         time.sleep(5)  # relay frees are async
