@@ -272,7 +272,10 @@ def set_backend(name: str) -> str:
     return prev
 
 
-_PALLAS_TB = int(_os.environ.get("RINGSNARK_PALLAS_TB", 8))
+# r3 chip sweep (chip_logs/BENCH_NTT_r03_tb.log): tb=32 is fastest for the
+# north-star shape (135.8 us/batch lbm vs 146.1 at tb=8) even though the
+# scoped-VMEM model then chunks limbs singly
+_PALLAS_TB = int(_os.environ.get("RINGSNARK_PALLAS_TB", 32))
 # Scoped-VMEM model for the grid-free kernel, fitted to Mosaic's reported
 # allocations (r3: [8,4,16384] blm block = 19.59M vs the 16M limit):
 #   bytes(Lc) = 4*M*(2*Lc*stages [twiddles] + 2*Lc [scale rows]

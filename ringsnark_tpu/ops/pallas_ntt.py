@@ -274,12 +274,11 @@ def _apply_lbm(xt, tables: PallasNTTTables, tb: int, inverse: bool,
 
 import os as _os
 
-# blm (default): kernel blocks are [tb, L, M] slices of the caller's array —
-# no HBM transpose on either side (2 full-array round-trips saved per
-# transform).  RINGSNARK_PALLAS_LAYOUT=lbm restores the round-2 transposed
-# path (fallback if a remote Mosaic build rejects squeezed middle-index
-# loads).
-_LAYOUT = _os.environ.get("RINGSNARK_PALLAS_LAYOUT", "blm")
+# lbm (default): [L, B, M] blocks with HBM transposes on either side.
+# blm slices [tb, L, M] directly (no transposes) but measured SLOWER on chip
+# (r3 sweep: 172 vs 146 us/batch at tb=8 — the squeezed middle-index access
+# pattern costs Mosaic more than the two full-array HBM round-trips saved).
+_LAYOUT = _os.environ.get("RINGSNARK_PALLAS_LAYOUT", "lbm")
 
 
 def _apply_blm(x, tables: PallasNTTTables, tb: int, inverse: bool,
