@@ -16,4 +16,4 @@ run() {
 }
 run rq13  --ring rq --N 8192 --n-inner 16384 --log-m 13 --phased --phase-chunk 8192 --slab 1024 --cpu-slabs 2
 run rq14  --ring rq --N 8192 --n-inner 16384 --log-m 14 --phased --phase-chunk 8192 --slab 1024 --cpu-slabs 2
-run zq16  --log-m 16 --margin 6
+
