@@ -277,26 +277,29 @@ def set_backend(name: str) -> str:
 # scoped-VMEM model then chunks limbs singly
 _PALLAS_TB = int(_os.environ.get("RINGSNARK_PALLAS_TB", 32))
 # Scoped-VMEM model for the grid-free kernel, fitted to Mosaic's reported
-# allocations (r3: [8,4,16384] blm block = 19.59M vs the 16M limit):
-#   bytes(Lc) = 4*M*(2*Lc*stages [twiddles] + 2*Lc [scale rows]
-#               + 2*Lc*TB [io blocks] + C*TB [live stage temps])
-# with C ~= 14 empirically.  Chunk the limb axis to stay under the cap.
+# allocations (r3: blm [8,4,16384] block = 19.59M -> C~14; lbm [1,32,16384]
+# block = 18.94M -> C~6):
+#   bytes(Lc, tb) = 4*M*(2*Lc*stages [twiddles] + 2*Lc [scale rows]
+#                   + 2*Lc*tb [io blocks] + C*tb [live stage temps])
+# Chunk the limb axis — and shrink tb — to stay under the cap.
 _PALLAS_VMEM_BYTES = int(_os.environ.get("RINGSNARK_PALLAS_VMEM", 14_500_000))
-_PALLAS_TEMP_ROWS = int(_os.environ.get("RINGSNARK_PALLAS_TEMP_ROWS", 14))
+_PALLAS_TEMP_ROWS = {"blm": 14, "lbm": 7}
 
 
-def _gridfree_max_lc(m_eff: int, L: int, tb: int) -> int:
+def _gridfree_plan(m_eff: int, L: int, tb: int, layout: str = "lbm"):
+    """Largest (tb, limbs-per-call) fitting the scoped-VMEM cap."""
     stages = m_eff.bit_length() - 1
+    C = _PALLAS_TEMP_ROWS.get(layout, 14)
 
-    def bytes_(lc):
-        return 4 * m_eff * (
-            2 * lc * stages + 2 * lc + 2 * lc * tb + _PALLAS_TEMP_ROWS * tb
-        )
+    def bytes_(lc, tb_):
+        return 4 * m_eff * (2 * lc * stages + 2 * lc + 2 * lc * tb_ + C * tb_)
 
+    while tb > 8 and bytes_(1, tb) > _PALLAS_VMEM_BYTES:
+        tb //= 2
     lc = 1
-    while lc < L and bytes_(lc + 1) <= _PALLAS_VMEM_BYTES:
+    while lc < L and bytes_(lc + 1, tb) <= _PALLAS_VMEM_BYTES:
         lc += 1
-    return lc
+    return tb, lc
 # Largest M the grid-free single-program kernel can hold: the Mosaic scoped-
 # VMEM stack grows ~linearly with M (measured: 37.4 MB at M=131072 vs the
 # 16 MB limit => ~9.4 MB at 32768).  Above this, route through the split
@@ -352,14 +355,13 @@ def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
     for dim in lead:
         B0 *= dim
     xr = x.reshape(B0, L, M)
-    pad = (-B0) % _PALLAS_TB
+    # tb + limb-chunk plan under the scoped-VMEM cap (tb shrinks first)
+    m_eff = _SPLIT_MI if split else M
+    tb, max_lc = _gridfree_plan(m_eff, L, _PALLAS_TB, _pn._LAYOUT)
+    pad = (-B0) % tb
     if pad:
         xr = jnp.pad(xr, ((0, pad), (0, 0), (0, 0)))
-
-    # chunk the limb axis so tables + buffers fit VMEM
-    m_eff = _SPLIT_MI if split else M
-    max_lc = _gridfree_max_lc(m_eff, L, _PALLAS_TB)
-    n_calls = ((B0 + pad) // _PALLAS_TB) * -(-L // max_lc)
+    n_calls = ((B0 + pad) // tb) * -(-L // max_lc)
     if n_calls * m_eff > _PALLAS_MAX_CALL_UNITS:
         return None  # unrolled program would be too large; use XLA
     outs = []
@@ -369,13 +371,13 @@ def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
             tables = _pn.get_split_tables(sub, M, _SPLIT_MI)
             outs.append(
                 _pn.ntt_split_pallas(
-                    xr[:, lo : lo + max_lc, :], tables, _PALLAS_TB,
+                    xr[:, lo : lo + max_lc, :], tables, tb,
                     inverse=inverse, negacyclic=negacyclic,
                 )
             )
         else:
             tables = _pn.get_pallas_tables(sub, M)
-            outs.append(fn(xr[:, lo : lo + max_lc, :], tables, _PALLAS_TB))
+            outs.append(fn(xr[:, lo : lo + max_lc, :], tables, tb))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     if pad:
         out = out[:B0]
