@@ -205,6 +205,74 @@ def prover(
     )
 
 
+def _io_assignment_with_one(ctx, primary_input) -> RingElem:
+    """[1, primary...] assignment rows (io columns only), [n_io, L, n]."""
+    import jax.numpy as jnp
+
+    if isinstance(primary_input, RingElem):
+        p_res = primary_input.res
+        n = max(p_res.shape[-1], 1)
+        one = jnp.broadcast_to(RingElem.one(ctx).res, (1, ctx.L, n)).astype(
+            jnp.uint32
+        )
+        return RingElem(ctx, jnp.concatenate([one, p_res], axis=0))
+    return RingElem.stack([RingElem.one(ctx)] + list(primary_input))
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("ctx",))
+def _io_eval_kernel(ctx, At_io, Bt_io, Ct_io, z_io):
+    """(v_io(s), w_io(s), y_io(s)) = per-matrix sum_k z_k * Mt[k].
+
+    Mt rows are the QRP basis-polynomial evaluations at s for the io columns
+    (constant column 0 included).  Linearity makes this bit-identical to the
+    reference's interpolate-io-polys-then-evaluate route
+    (`groth16.tcc:140-158`, `rinocchio.tcc:230-254`) at O(n_io * n) instead
+    of O(M log M * n) — the designated verifier already holds s, so nothing
+    about the trust model changes.  (The r3 Rq verifier spent ~125 s in the
+    interpolation route; this kernel is why verify is now decode-bound.)
+    """
+    from ..ops.modops import mul_mod as _mm, barrett_reduce_u64 as _br
+    import jax.numpy as jnp
+
+    def dot(vals):
+        prods = _mm(vals, z_io, ctx.p, ctx.mu, ctx.pbits)
+        acc = jnp.sum(prods.astype(jnp.uint64), axis=0)
+        return _br(acc, ctx.p, ctx.mu, ctx.pbits)
+
+    return dot(At_io), dot(Bt_io), dot(Ct_io)
+
+
+def _io_terms_at_s(pvk_qrp, ctx, n_io: int, primary_input):
+    """v_io(s), w_io(s), y_io(s) as RingElems from a QRPInstanceEvaluation."""
+    z_io = _io_assignment_with_one(ctx, primary_input)
+    assert z_io.res.shape[0] == n_io
+    v, w, y = _io_eval_kernel(
+        ctx,
+        pvk_qrp.At.res[:n_io],
+        pvk_qrp.Bt.res[:n_io],
+        pvk_qrp.Ct.res[:n_io],
+        z_io.res,
+    )
+    return RingElem(ctx, v), RingElem(ctx, w), RingElem(ctx, y)
+
+
+def _io_terms_via_interpolation(pk, primary_input, s: RingElem):
+    """Reference-shaped io route (evaluate constraints on the padded primary,
+    interpolate, Horner at s — `groth16.tcc:140-158`).  Kept as the
+    cross-check oracle for `_io_terms_at_s`; O(M log M * n)."""
+    ctx = pk.params.ring
+    domain = pk.domain
+    z_io = _padded_primary_with_one(pk, primary_input)
+    az, bz, cz = pk.compiled.eval_matrices(z_io.res, num_rows=domain.m)
+    v_io = eval_coeffs_at(RingElem(ctx, _interp(domain, az)), s)
+    w_io = eval_coeffs_at(RingElem(ctx, _interp(domain, bz)), s)
+    y_io = eval_coeffs_at(RingElem(ctx, _interp(domain, cz)), s)
+    return v_io, w_io, y_io
+
+
 def _padded_primary_with_one(pk, primary_input) -> RingElem:
     """[1, primary..., 0...] assignment column (zeros for aux wires)."""
     import jax.numpy as jnp
@@ -264,13 +332,8 @@ def online_verifier(
     B = decode(enc_ctx, vk.sk_enc, proof.B)
     C = decode(enc_ctx, vk.sk_enc, proof.C)
 
-    qrp = pvk.qrp
-
-    z_io = _padded_primary_with_one(pk, primary_input)
-    az, bz, cz = pk.compiled.eval_matrices(z_io.res, num_rows=domain.m)
-    v_io = eval_coeffs_at(RingElem(ctx, _interp(domain, az)), vk.s)
-    w_io = eval_coeffs_at(RingElem(ctx, _interp(domain, bz)), vk.s)
-    y_io = eval_coeffs_at(RingElem(ctx, _interp(domain, cz)), vk.s)
+    n_io = pk.compiled.primary_input_size + 1
+    v_io, w_io, y_io = _io_terms_at_s(pvk.qrp, ctx, n_io, primary_input)
 
     # f_io = (beta v_io + alpha w_io + y_io) / gamma  (kept /gamma then *gamma
     # to mirror the reference check shape, groth16.tcc:159-167)

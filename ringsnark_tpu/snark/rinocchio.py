@@ -26,7 +26,7 @@ from ..reductions.r1cs_to_qrp import (
 from ..relations.r1cs import R1CSConstraintSystem, CompiledR1CS
 from ..rings.elem import RingElem
 from ..utils.domain import RootsDomain
-from ..utils.poly_arr import eval_coeffs_at, ring_batch_scale
+from ..utils.poly_arr import ring_batch_scale
 from .api import KeyPair, SnarkParams
 
 __all__ = ["ProvingKey", "VerificationKey", "ProcessedVerificationKey", "Proof",
@@ -306,17 +306,14 @@ def online_verifier(
     # L = beta (r_v V_mid + r_w W_mid + r_y Y_mid)
     Lc = (V_mid * vk.r_v + W_mid * vk.r_w + Y_mid * vk.r_y) * vk.beta
 
-    # io polynomials: evaluate constraints on padded primary, interpolate,
-    # evaluate at s (rinocchio.tcc:230-254) — all NTT/closed-form here.
-    from ..reductions.r1cs_to_qrp import _interp
-    from .groth16 import _padded_primary_with_one
+    # io terms at s: direct weighted sum over the io rows of the processed
+    # vk's QRP evaluation (linear in the basis evals — bit-identical to the
+    # reference's interpolate-then-evaluate route, `rinocchio.tcc:230-254`,
+    # see groth16._io_eval_kernel).
+    from .groth16 import _io_terms_at_s
 
-    z_io = _padded_primary_with_one(pk, primary_input)
-    az, bz, cz = pk.compiled.eval_matrices(z_io.res, num_rows=domain.m)
-
-    v_io = eval_coeffs_at(RingElem(ctx, _interp(domain, az)), vk.s)
-    w_io = eval_coeffs_at(RingElem(ctx, _interp(domain, bz)), vk.s)
-    y_io = eval_coeffs_at(RingElem(ctx, _interp(domain, cz)), vk.s)
+    n_io = pk.compiled.primary_input_size + 1
+    v_io, w_io, y_io = _io_terms_at_s(qrp, ctx, n_io, primary_input)
 
     P = (V_mid + v_io) * (W_mid + w_io) - (Y_mid + y_io)
 

@@ -137,3 +137,24 @@ def test_rinocchio_no_aux_nonzk_mode():
     proof = rinocchio.prover(kp.pk, pb.primary_input(), pb.auxiliary_input(), rng)
     assert proof.F is None
     assert rinocchio.verifier(kp.vk, pb.primary_input(), proof)
+
+
+def test_io_terms_direct_equals_interpolation(env):
+    """The verifier's direct io evaluation (sum_k z_k * Mt[k] over the
+    processed vk's QRP evals) must be bit-identical to the reference-shaped
+    interpolate-then-evaluate route (groth16.tcc:140-158)."""
+    params, pb = env
+    rng = np.random.default_rng(7)
+    kp = groth16.generator(
+        pb.get_constraint_system(), params, rng, jax.random.PRNGKey(106)
+    )
+    pvk = groth16.verifier_process(kp.vk)
+    n_io = kp.pk.compiled.primary_input_size + 1
+    direct = groth16._io_terms_at_s(
+        pvk.qrp, params.ring, n_io, pb.primary_input()
+    )
+    interp = groth16._io_terms_via_interpolation(
+        kp.pk, pb.primary_input(), kp.vk.s
+    )
+    for d, i in zip(direct, interp):
+        assert np.array_equal(np.asarray(d.res), np.asarray(i.res))
