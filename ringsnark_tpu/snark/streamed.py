@@ -1,0 +1,381 @@
+"""Streamed ringGroth16 prover: limb-phased x row-chunked CRS generation.
+
+The seeded CRS at 2^18 constraints is ~13 GiB *per outer limb* of c0 —
+larger than one chip's HBM at L >= 2.  Two independent phase axes make any
+L fit a single chip (and map 1:1 onto a pod slice, one limb group per
+chip set):
+
+* **outer-limb phasing** — RNS limbs never interact anywhere in the
+  prover (they only meet at decode/CRT, `DESIGN.md` §5), so an L-limb
+  proof is exactly L independent single-limb proofs whose ciphertexts
+  concatenate along the limb axis.  Each limb pass reuses the SAME
+  compiled L=1 kernels, so L=2 costs ~2x the L=1 wall clock — not the
+  24x the r3 full-L phased path measured (its L=2 shapes recompiled
+  everything and the tail chunks recompiled again).
+* **row chunking** — within one limb, each CRS phase (s_pows /
+  delta_ts / delta_mid) is generated and consumed in fixed-shape row
+  blocks; partial inner products accumulate at level 0 and the
+  modswitch chain runs once on the final sums, so the result is
+  bit-identical to the unchunked schedule.  All chunks of all phases
+  share ONE static shape (padded rows are encryptions of 0 paired with
+  zero coefficients — exact no-ops), so the whole streamed prover
+  compiles 1 encode kernel + 2 MAC kernels total.
+
+Mirrors the CRS/proof semantics of `/root/reference/ringsnark/
+zk_proof_systems/groth16/groth16.tcc:5-115`; the reference holds the
+whole `vector<EncT>` CRS in RAM and has no streaming analog.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..encoding import Encoding, encode, keygen
+from ..encoding.context import EncodingContext, SecretKey
+from ..ops.modops import add_mod
+from ..reductions.r1cs_to_qrp import (
+    r1cs_to_qrp_instance_map_with_evaluation,
+    _assignment_batches,
+    witness_map_kernel_chunked,
+)
+from ..relations.r1cs import CompiledR1CS
+from ..rings.context import RingContext
+from ..rings.elem import RingElem
+from ..utils.domain import RootsDomain
+from ..utils.poly_arr import ring_batch_scale
+from .api import SnarkParams
+from .groth16 import Proof, VerificationKey
+from . import seeded as sd
+
+__all__ = [
+    "limb_ring",
+    "limb_enc_context",
+    "limb_params",
+    "limb_secret_key",
+    "limb_slice",
+    "StreamRecord",
+    "stream_prove",
+    "plan_chunks",
+]
+
+
+# ---------------------------------------------------------------------------
+# limb slicing
+# ---------------------------------------------------------------------------
+
+
+def limb_ring(ctx: RingContext, l: int) -> RingContext:
+    """The single-limb sub-ring Z_{q_l}[X]/(X^N+1)."""
+    return RingContext(primes=(ctx.primes[l],), N=ctx.N)
+
+
+def limb_enc_context(ectx: EncodingContext, l: int) -> EncodingContext:
+    """The encoding context of outer limb l (plain modulus t_l = q_l).
+
+    The reference builds one SEAL context per limb (`seal_ring.hpp:270-306`);
+    this is that object, recovered from the stacked-axis representation.
+    """
+    return EncodingContext(
+        ring=limb_ring(ectx.ring, l),
+        n_inner=ectx.n_inner,
+        inner_primes=ectx.inner_primes,
+        error_stddev=ectx.error_stddev,
+        floor_limbs=ectx.floor_limbs,
+    )
+
+
+def limb_params(params: SnarkParams, l: int) -> SnarkParams:
+    return SnarkParams(
+        ring=limb_ring(params.ring, l),
+        enc=limb_enc_context(params.enc, l),
+        use_modswitch=params.use_modswitch,
+    )
+
+
+def limb_secret_key(ectx_l: EncodingContext, sk: SecretKey, l: int) -> SecretKey:
+    return SecretKey(
+        ctx=ectx_l, s_ntt=sk.s_ntt[l : l + 1], s_coeffs=sk.s_coeffs[l : l + 1]
+    )
+
+
+def limb_slice(ctx_l: RingContext, res, l: int):
+    """Slice the limb axis (-2) of a slot array: [*, L, n] -> [*, 1, n]."""
+    return res[..., l : l + 1, :]
+
+
+# ---------------------------------------------------------------------------
+# chunk planning
+# ---------------------------------------------------------------------------
+
+
+def plan_chunks(B: int, phase_rows: int, slab: int) -> tuple[int, int]:
+    """(nchunks, chunk) with chunk a multiple of slab, nchunks*chunk >= B.
+
+    All phases of all limbs use the same (nchunks, chunk), so the streamed
+    prover compiles each kernel once; padding waste is bounded by ~slab/B +
+    rounding (<= ~6% at the bench shapes).
+    """
+    nchunks = max(1, round(B / phase_rows))
+    chunk = -(-(-(-B // nchunks)) // slab) * slab
+    while nchunks * chunk < B:  # defensive; round() can undershoot
+        nchunks += 1
+    return nchunks, chunk
+
+
+# ---------------------------------------------------------------------------
+# timing record
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StreamRecord:
+    """Per-section wall-clock, attributed to setup (CRS encode) vs prove
+    (MACs + witness map + modswitch).  Each timed section ends with a
+    dependent-slice fetch so relay-async completion cannot undercount
+    (DESIGN.md §10 methodology)."""
+
+    sync: bool = True
+    events: list = field(default_factory=list)  # (kind, name, seconds)
+
+    def total(self, kind: str) -> float:
+        return sum(dt for k, _, dt in self.events if k == kind)
+
+    def add(self, kind: str, name: str, dt: float):
+        self.events.append((kind, name, dt))
+
+    def _sync(self, *arrays):
+        if not self.sync:
+            return
+        for a in arrays:
+            if a is not None:
+                np.asarray(jax.numpy.ravel(a)[:4])
+
+
+# ---------------------------------------------------------------------------
+# the streamed prover
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(arr, target: int):
+    if arr.shape[0] == target:
+        return arr
+    return jnp.pad(arr, [(0, target - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1))
+
+
+def stream_prove(
+    comp: CompiledR1CS,
+    params: SnarkParams,
+    primary,
+    auxiliary,
+    rng: np.random.Generator,
+    key,
+    *,
+    slab: int = 4096,
+    phase_rows: int = 1 << 16,
+    record: Optional[StreamRecord] = None,
+    trapdoor: Optional[tuple] = None,
+    sk_enc: Optional[SecretKey] = None,
+):
+    """Setup + prove with the CRS never fully resident (`groth16.tcc:5-115`).
+
+    Returns (proof, vk, record).  vk carries a CRS-less SeededProvingKey
+    stub (the verifier needs only compiled/domain/params).  `trapdoor` =
+    (s, alpha, beta, gamma, delta) full-L RingElems and `sk_enc` may be
+    injected for cross-path tests; by default both are sampled from `rng`
+    exactly like `seeded.generator_seeded`.
+    """
+    rec = record if record is not None else StreamRecord(sync=False)
+    ctx = params.ring
+    ectx = params.enc
+    L = ctx.L
+    M = max(comp.num_constraints, 1)
+    n_io = comp.primary_input_size + 1
+
+    # ---- common setup (full L): trapdoor, QRP instance eval, plain CRS ----
+    t0 = time.perf_counter()
+    # sampling order matches seeded.generator_seeded exactly, so the same
+    # seeded rng yields the same trapdoor/sk across both paths (tests rely
+    # on this for decode-equality)
+    domain = RootsDomain(ctx, M)
+    if trapdoor is None:
+        s = RingElem.random_exceptional_element(ctx, rng, domain)
+    else:
+        s, alpha, beta, gamma, delta = trapdoor
+    if sk_enc is None:
+        _, sk_enc = keygen(ectx, rng)
+    if trapdoor is None:
+        alpha = RingElem.random_invertible_element(ctx, rng)
+        beta = RingElem.random_invertible_element(ctx, rng)
+        gamma = RingElem.random_invertible_element(ctx, rng)
+        delta = RingElem.random_invertible_element(ctx, rng)
+    qrp = r1cs_to_qrp_instance_map_with_evaluation(comp, s, domain)
+    delta_inv = delta.inverse()
+    combo = (
+        ring_batch_scale(qrp.At, beta)
+        + ring_batch_scale(qrp.Bt, alpha)
+        + qrp.Ct
+    )
+    gamma_io_ring = ring_batch_scale(
+        RingElem(ctx, combo.res[:n_io]), gamma.inverse()
+    )
+    s_pows_res = qrp.Ht.res  # [M+1, L, 1]
+    delta_ts_res = ring_batch_scale(
+        ring_batch_scale(qrp.Ht, qrp.Zt), delta_inv
+    ).res
+    delta_mid_res = ring_batch_scale(
+        RingElem(ctx, combo.res[n_io:]), delta_inv
+    ).res
+    rec._sync(s_pows_res, delta_ts_res, delta_mid_res)
+    rec.add("setup", "common", time.perf_counter() - t0)
+
+    # ---- witness map (full L, slot-chunked for Rq program size) -----------
+    t0 = time.perf_counter()
+    full, io, mid = _assignment_batches(ctx, primary, auxiliary)
+    zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
+    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
+        comp, full.res, io.res, mid.res, zero, zero, zero, domain
+    )
+    a_full = add_mod(a_io, a_mid, ctx.p)
+    b_full = add_mod(b_io, b_mid, ctx.p)
+    if isinstance(auxiliary, RingElem):
+        aux_res = auxiliary.res
+    else:
+        aux_res = (
+            RingElem.stack(list(auxiliary)).res
+            if auxiliary
+            else jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)
+        )
+    rec._sync(a_full, b_full, H)
+    rec.add("prove", "witness_map", time.perf_counter() - t0)
+
+    # ---- per-limb streamed CRS + MACs -------------------------------------
+    # one (nchunks, chunk) plan shared by every phase of every limb
+    # (delta_mid has num_variables - primary rows, which can exceed M+1
+    # for wide circuits like the mul chain)
+    B_max = max(M + 1, comp.num_variables - comp.primary_input_size)
+    nchunks, chunk = plan_chunks(B_max, phase_rows, slab)
+    B_pad = nchunks * chunk
+    ums = params.use_modswitch
+    max_level = max(ectx.L_inner - ectx.floor_limbs, 0) if ums else 0
+
+    limb_proofs = []  # (A, B, C) per limb, Encoding over the 1-limb ctx
+    gamma_io_parts = []
+    for l in range(L):
+        params_l = limb_params(params, l)
+        ctx_l, ectx_l = params_l.ring, params_l.enc
+        sk_l = limb_secret_key(ectx_l, sk_enc, l)
+        keys = jax.random.split(jax.random.fold_in(key, l), 8)
+
+        t0 = time.perf_counter()
+        alpha_enc = encode(
+            ectx_l, sk_l, RingElem(ctx_l, limb_slice(ctx_l, alpha.res, l)[None]),
+            keys[0],
+        )[0]
+        beta_enc = encode(
+            ectx_l, sk_l, RingElem(ctx_l, limb_slice(ctx_l, beta.res, l)[None]),
+            keys[1],
+        )[0]
+        gamma_io_parts.append(
+            encode(
+                ectx_l, sk_l,
+                RingElem(ctx_l, limb_slice(ctx_l, gamma_io_ring.res, l)),
+                keys[2],
+            )
+        )
+        rec._sync(alpha_enc.c0, gamma_io_parts[-1].c0)
+        rec.add("setup", f"limb{l}:small", time.perf_counter() - t0)
+
+        # the three streaming phases: (name, CRS ring rows, pts, key)
+        phases = [
+            ("s_pows", s_pows_res,
+             [limb_slice(ctx_l, _pad_rows(a_full, B_pad), l),
+              limb_slice(ctx_l, _pad_rows(b_full, B_pad), l)], keys[3]),
+            ("delta_ts", delta_ts_res,
+             [limb_slice(ctx_l, _pad_rows(H, B_pad), l)], keys[4]),
+        ]
+        if aux_res.shape[0] > 0:
+            phases.append(
+                ("delta_mid", delta_mid_res,
+                 [limb_slice(ctx_l, _pad_rows(aux_res, B_pad), l)], keys[5])
+            )
+
+        partials: dict[str, list] = {}
+        for name, ring_res, pts, enc_key in phases:
+            rows_l = limb_slice(ctx_l, _pad_rows(ring_res, B_pad), l)
+            accs = None
+            for ci in range(nchunks):
+                lo = ci * chunk
+                sub = RingElem(ctx_l, rows_l[lo : lo + chunk])
+                t0 = time.perf_counter()
+                senc = sd.encode_seeded(
+                    ectx_l, sk_l, sub, jax.random.fold_in(enc_key, ci), slab
+                )
+                rec._sync(senc.c0)
+                rec.add("setup", f"limb{l}:{name}+{lo}",
+                        time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                outs = sd.seeded_inner_product(
+                    senc, [pt[lo : lo + chunk] for pt in pts],
+                    use_modswitch=False,
+                )
+                if accs is None:
+                    accs = outs
+                else:
+                    accs = [a + b for a, b in zip(accs, outs)]
+                rec._sync(*[o.c0 for o in accs])
+                rec.add("prove", f"limb{l}:{name}+{lo}",
+                        time.perf_counter() - t0)
+                del senc
+            partials[name] = accs
+
+        # final modswitch chains + proof assembly for this limb
+        t0 = time.perf_counter()
+        finals = {}
+        for name, accs in partials.items():
+            outs = []
+            for e in accs:
+                for _ in range(max_level):
+                    e = e.modswitch()
+                outs.append(e)
+            finals[name] = outs
+        A_l = finals["s_pows"][0] + alpha_enc
+        B_l = finals["s_pows"][1] + beta_enc
+        C_l = finals["delta_ts"][0]
+        if "delta_mid" in finals:
+            C_l = C_l + finals["delta_mid"][0]
+        rec._sync(A_l.c0, B_l.c0, C_l.c0)
+        rec.add("prove", f"limb{l}:finalize", time.perf_counter() - t0)
+        limb_proofs.append((A_l, B_l, C_l))
+
+    # ---- assemble the full-L proof and vk ---------------------------------
+    def cat(idx: int) -> Encoding:
+        encs = [lp[idx] for lp in limb_proofs]
+        lvl = encs[0].level
+        assert all(e.level == lvl for e in encs)
+        return Encoding(
+            ectx,
+            jnp.concatenate([e.c0 for e in encs], axis=0),
+            jnp.concatenate([e.c1 for e in encs], axis=0),
+            lvl,
+        )
+
+    proof = Proof(A=cat(0), B=cat(1), C=cat(2))
+    gamma_io = Encoding(
+        ectx,
+        jnp.concatenate([g.c0 for g in gamma_io_parts], axis=1),
+        jnp.concatenate([g.c1 for g in gamma_io_parts], axis=1),
+        0,
+    )
+    pk = sd.SeededProvingKey(
+        compiled=comp, domain=domain, params=params, alpha=None, beta=None,
+        s_pows=None, gamma_io=gamma_io, delta_mid=None, delta_ts=None,
+    )
+    vk = VerificationKey(pk=pk, s=s, alpha=alpha, beta=beta, gamma=gamma,
+                         delta=delta, sk_enc=sk_enc)
+    return proof, vk, rec

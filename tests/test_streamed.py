@@ -1,0 +1,113 @@
+"""Streamed (limb-phased, row-chunked) groth16 prover tests.
+
+Invariants: (a) the streamed proof verifies and rejects tampering; (b) the
+decoded proof plaintexts are identical to the resident seeded prover's
+under the same trapdoor/secret key (ciphertexts differ — fresh encryption
+randomness — but the protocol values are deterministic); (c) chunking and
+limb-phasing choices never change the decoded values.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from ringsnark_tpu.rings.context import default_context
+from ringsnark_tpu.rings.elem import RingElem
+from ringsnark_tpu.encoding import EncodingContext, decode
+from ringsnark_tpu.snark.api import SnarkParams
+from ringsnark_tpu.snark import groth16, seeded as sd, streamed as st
+from ringsnark_tpu.models.synthetic import build_synthetic_square_chain
+from ringsnark_tpu.ops.primes import find_ntt_primes
+
+
+def _make_params(L, N):
+    ring = default_context(L=L, N=N, order=1 << 12)
+    n_inner = 64 if N <= 32 else 2 * N
+    inner, below = [], 1 << 31
+    while len(inner) < 3:
+        c = find_ntt_primes(1, 2 * n_inner, below=below)[0]
+        below = c
+        if c not in ring.primes:
+            inner.append(c)
+    enc = EncodingContext(ring=ring, n_inner=n_inner, inner_primes=tuple(inner))
+    return SnarkParams(ring=ring, enc=enc)
+
+
+@pytest.fixture(scope="module", params=[(2, 1), (2, 8)], ids=["Zq_L2", "Rq_L2"])
+def env(request):
+    L, N = request.param
+    params = _make_params(L, N)
+    rng = np.random.default_rng(11)
+    comp, primary, aux = build_synthetic_square_chain(params.ring, 32, rng)
+    return params, comp, primary, aux
+
+
+def test_stream_prove_verifies_and_rejects(env):
+    params, comp, primary, aux = env
+    rng = np.random.default_rng(1)
+    proof, vk, rec = st.stream_prove(
+        comp, params, primary, aux, rng, jax.random.PRNGKey(7),
+        slab=8, phase_rows=16,
+    )
+    assert groth16.verifier(vk, primary, proof)
+    bad = RingElem(params.ring, (primary + RingElem.one(params.ring)).res)
+    assert not groth16.verifier(vk, bad, proof)
+    assert rec.total("setup") >= 0 and rec.total("prove") >= 0
+
+
+def test_stream_prove_decodes_equal_to_resident_seeded(env):
+    """Same seeded rng => same trapdoor/sk in both paths; proof plaintexts
+    must match bit-exactly."""
+    params, comp, primary, aux = env
+    ectx = params.enc
+    proof_s, vk_s, _ = st.stream_prove(
+        comp, params, primary, aux, np.random.default_rng(5),
+        jax.random.PRNGKey(8), slab=8, phase_rows=16,
+    )
+    kp = sd.generator_seeded(
+        comp, params, np.random.default_rng(5), jax.random.PRNGKey(9), slab=8
+    )
+    proof_r = sd.prover_seeded(kp.pk, primary, aux)
+    # trapdoor agreement (the sampling-order contract)
+    assert np.array_equal(np.asarray(vk_s.s.res), np.asarray(kp.vk.s.res))
+    assert np.array_equal(
+        np.asarray(vk_s.delta.res), np.asarray(kp.vk.delta.res)
+    )
+    for a, b, name in (
+        (proof_s.A, proof_r.A, "A"),
+        (proof_s.B, proof_r.B, "B"),
+        (proof_s.C, proof_r.C, "C"),
+    ):
+        assert a.level == b.level, name
+        da = decode(ectx, vk_s.sk_enc, a)
+        db = decode(ectx, kp.vk.sk_enc, b)
+        assert np.array_equal(np.asarray(da.res), np.asarray(db.res)), name
+
+
+def test_stream_prove_chunking_invariance(env):
+    """Different (slab, phase_rows) plans yield identical decoded proofs."""
+    params, comp, primary, aux = env
+    ectx = params.enc
+    outs = []
+    for slab, phase_rows in ((8, 16), (16, 64)):
+        proof, vk, _ = st.stream_prove(
+            comp, params, primary, aux, np.random.default_rng(6),
+            jax.random.PRNGKey(10), slab=slab, phase_rows=phase_rows,
+        )
+        outs.append(
+            tuple(
+                np.asarray(decode(ectx, vk.sk_enc, e).res)
+                for e in (proof.A, proof.B, proof.C)
+            )
+        )
+    for x, y in zip(*outs):
+        assert np.array_equal(x, y)
+
+
+def test_plan_chunks():
+    for B, pr, slab in ((65537, 65536, 4096), (262145, 65536, 4096),
+                        (31, 16, 8), (1, 1 << 16, 4096)):
+        n, c = st.plan_chunks(B, pr, slab)
+        assert c % slab == 0
+        assert n * c >= B
+        assert n * c - B < c + slab  # bounded waste
