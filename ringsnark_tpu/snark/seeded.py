@@ -128,20 +128,17 @@ def _pad_slab(arr, slab: int):
 
 
 @partial(jax.jit, static_argnames=("ctx", "slab", "nslab"))
-def _encode_seeded_kernel(ctx: EncodingContext, s_ntt, slots_pad, key,
+def _encode_seeded_kernel(ctx: EncodingContext, s_ntt, data_pad, key,
                           slab: int, nslab: int):
     dense = ctx.ring.N > 1
-    if dense:
-        # hoist the per-term plaintext NTT storm out of the scan: one batched
-        # transform over the whole padded batch (the scan body then has no
-        # transform inside — scan-of-NTT programs hang the remote compiler,
-        # and the batched form maps better onto the chip anyway)
-        m_pad = plain_to_inner_ntt(ctx, slots_pad, level=0)
-        xs_data = m_pad.reshape(nslab, slab, *m_pad.shape[1:])
-    else:
-        # scalar fast path: keep the (NTT-free) broadcast inside the scan so
-        # the [B, L, L', N'] operand is never materialized in HBM
-        xs_data = slots_pad.reshape(nslab, slab, *slots_pad.shape[1:])
+    # dense rings: data_pad is the PRE-TRANSFORMED [B, L, L', N'] operand
+    # (the per-term plaintext NTT storm is hoisted out of the scan — see
+    # `_pre_ntt_chunked`: scan-of-NTT programs hang the remote compiler, and
+    # slab-chunked separate calls stay under the Pallas call-volume cap).
+    # scalar fast path: data_pad is the raw [B, L, 1] slot batch; the
+    # (NTT-free) broadcast happens inside the scan so the [B, L, L', N']
+    # operand is never materialized in HBM.
+    xs_data = data_pad.reshape(nslab, slab, *data_pad.shape[1:])
 
     def step(_, xs):
         i, data_i = xs
@@ -156,6 +153,25 @@ def _encode_seeded_kernel(ctx: EncodingContext, s_ntt, slots_pad, key,
     return c0.reshape(nslab * slab, ctx.L, ctx.L_inner, ctx.n_inner)
 
 
+def _pre_ntt_chunked(ctx: EncodingContext, arr, chunk: int):
+    """plain_to_inner_ntt over row chunks as SEPARATE jit calls.
+
+    One batched transform over a full CRS phase exceeds the Pallas unrolled
+    call-volume cap (`ops/ntt._PALLAS_MAX_CALL_UNITS`) and falls back to the
+    ~5x-slower XLA path — the r3 dense-mode throughput gap (DESIGN §10).
+    Chunked calls compile one small program, reuse it, and stay on the
+    kernel; concatenation is exact (rows never interact).
+    """
+    B = arr.shape[0]
+    if B <= chunk:
+        return _pre_ntt_kernel(ctx, arr)
+    assert B % chunk == 0, (B, chunk)
+    return jnp.concatenate(
+        [_pre_ntt_kernel(ctx, arr[lo : lo + chunk]) for lo in range(0, B, chunk)],
+        axis=0,
+    )
+
+
 def encode_seeded(
     ctx: EncodingContext, sk, rs: RingElem, key, slab: int = DEFAULT_SLAB
 ) -> SeededEncoding:
@@ -165,7 +181,10 @@ def encode_seeded(
     slab = min(slab, max(8, B))
     slots_pad = _pad_slab(slots, slab)
     nslab = slots_pad.shape[0] // slab
-    c0 = _encode_seeded_kernel(ctx, sk.s_ntt, slots_pad, key, slab, nslab)
+    data_pad = (
+        _pre_ntt_chunked(ctx, slots_pad, slab) if ctx.ring.N > 1 else slots_pad
+    )
+    c0 = _encode_seeded_kernel(ctx, sk.s_ntt, data_pad, key, slab, nslab)
     return SeededEncoding(ctx=ctx, c0=c0, key=key, slab=slab, batch=B)
 
 
@@ -363,9 +382,10 @@ def seeded_inner_product(
         mode = "mxu" if (scalar and senc.slab <= 8192) else "u64"
     if mode == "u64" and not scalar and ctx.ring.N > 1:
         # dense (poly-ring) plaintexts: hoist the per-term NTTs out of the
-        # scan as one batched transform (see _encode_seeded_kernel)
+        # scan, slab-chunked so the transform stays on the Pallas kernel
+        # (see _pre_ntt_chunked)
         pts_pad = tuple(
-            _pre_ntt_kernel(ctx, p_) for p_ in pts_pad
+            _pre_ntt_chunked(ctx, p_, senc.slab) for p_ in pts_pad
         )
         mode = "dense"
     accs = _seeded_mac_kernel(
