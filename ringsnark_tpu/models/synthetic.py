@@ -79,13 +79,20 @@ def _device_square_chain(ctx: RingContext, x0: np.ndarray, nv: int):
     """[nv, L, n] squaring-chain assignment computed on device.
 
     Row i is x0^(2^i) slot-wise.  Exponents are reduced mod (p-1) on host
-    (Fermat; exact for slot value 0 too since the reduced exponent is never
-    0), then applied as a masked product over the 31 squared-basis arrays.
-    Avoids both the relay transfer of the full assignment and a length-nv
-    lax.scan compile.
+    (Fermat), then applied as a masked product over the 31 squared-basis
+    arrays.  Exact for slot value 0 only when the reduced exponent is never
+    0, i.e. when p-1 is NOT a power of two (asserted below; a Fermat prime
+    limb would make a zero slot compute the empty product 1).  Avoids both
+    the relay transfer of the full assignment and a length-nv lax.scan
+    compile.
     """
     import jax.numpy as jnp
 
+    for q in ctx.primes:
+        assert (q - 1) & (q - 2), (
+            f"limb {q}: q-1 is a power of two (Fermat prime); the reduced "
+            "exponent 2^i mod (q-1) can hit 0 and break zero slots"
+        )
     L, n = x0.shape
     p, mu, pb = ctx.p, ctx.mu, ctx.pbits
     exps = np.zeros((nv, L), dtype=np.uint64)

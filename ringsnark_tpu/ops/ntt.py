@@ -287,15 +287,24 @@ _PALLAS_TEMP_ROWS = {"blm": 14, "lbm": 7}
 
 
 def _gridfree_plan(m_eff: int, L: int, tb: int, layout: str = "lbm"):
-    """Largest (tb, limbs-per-call) fitting the scoped-VMEM cap."""
+    """Largest (tb, limbs-per-call) fitting the scoped-VMEM cap.
+
+    Returns None when even the minimal (tb=8, lc=1) block exceeds the cap —
+    the caller must fall back to the XLA path.  A non-power-of-two
+    RINGSNARK_PALLAS_TB is rounded down to a power-of-two multiple of 8 so
+    halving preserves the tb % 8 == 0 kernel invariant.
+    """
     stages = m_eff.bit_length() - 1
     C = _PALLAS_TEMP_ROWS.get(layout, 14)
+    tb = max(8, 1 << (max(tb, 8).bit_length() - 1))
 
     def bytes_(lc, tb_):
         return 4 * m_eff * (2 * lc * stages + 2 * lc + 2 * lc * tb_ + C * tb_)
 
     while tb > 8 and bytes_(1, tb) > _PALLAS_VMEM_BYTES:
         tb //= 2
+    if bytes_(1, tb) > _PALLAS_VMEM_BYTES:
+        return None
     lc = 1
     while lc < L and bytes_(lc + 1, tb) <= _PALLAS_VMEM_BYTES:
         lc += 1
@@ -357,7 +366,10 @@ def _pallas_route(x, plan: NTTPlan, inverse: bool, negacyclic: bool):
     xr = x.reshape(B0, L, M)
     # tb + limb-chunk plan under the scoped-VMEM cap (tb shrinks first)
     m_eff = _SPLIT_MI if split else M
-    tb, max_lc = _gridfree_plan(m_eff, L, _PALLAS_TB, _pn._LAYOUT)
+    plan_tb = _gridfree_plan(m_eff, L, _PALLAS_TB, _pn._LAYOUT)
+    if plan_tb is None:
+        return None  # no block fits scoped VMEM; use XLA
+    tb, max_lc = plan_tb
     pad = (-B0) % tb
     if pad:
         xr = jnp.pad(xr, ((0, pad), (0, 0), (0, 0)))

@@ -219,7 +219,15 @@ def witness_map_kernel_chunked(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
     [.., L, n] batch scales with n: at n = 8192 the compiled program reached
     ~3 GB and the remote compiler could not serialize it.  Chunking the slot
     axis compiles ONE ~n/slot_chunk-times-smaller program and reuses it.
-    Bit-identical to the unchunked kernel (slots never interact)."""
+    Bit-identical to the unchunked kernel (slots never interact).
+
+    d1r/d2r/d3r must be slot-broadcastable [L, 1] (they are NOT sliced along
+    the slot axis; per-slot d-vectors would need slicing here first)."""
+    for d in (d1r, d2r, d3r):
+        assert d.shape[-1] == 1, (
+            "chunked witness map requires [L, 1]-broadcast d1/d2/d3; got "
+            f"{d.shape}"
+        )
     n = z_full.shape[-1]
     if n <= slot_chunk:
         return _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
