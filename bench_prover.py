@@ -197,7 +197,7 @@ def main():
         for p_i in range(max(1, args.passes)):
             if proof is not None:
                 del proof, vk
-                time.sleep(5)  # relay frees are async
+                time.sleep(10)  # relay frees are async
             rec = st.StreamRecord(sync=True)
             t0 = time.perf_counter()
             proof, vk, rec = st.stream_prove(

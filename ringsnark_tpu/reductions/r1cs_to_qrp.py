@@ -221,22 +221,24 @@ def witness_map_kernel_chunked(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
     axis compiles ONE ~n/slot_chunk-times-smaller program and reuses it.
     Bit-identical to the unchunked kernel (slots never interact).
 
-    d1r/d2r/d3r must be slot-broadcastable [L, 1] (they are NOT sliced along
-    the slot axis; per-slot d-vectors would need slicing here first)."""
-    for d in (d1r, d2r, d3r):
-        assert d.shape[-1] == 1, (
-            "chunked witness map requires [L, 1]-broadcast d1/d2/d3; got "
-            f"{d.shape}"
-        )
+    d1r/d2r/d3r are [L, 1] broadcast constants or [L, n] per-slot vectors
+    (poly-ring ZK); per-slot vectors are sliced alongside the assignments."""
     n = z_full.shape[-1]
+    for d in (d1r, d2r, d3r):
+        assert d.shape[-1] in (1, n), (d.shape, n)
     if n <= slot_chunk:
         return _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
                                    domain)
     assert n % slot_chunk == 0, (n, slot_chunk)
+
+    def dsl(d, lo):
+        return d if d.shape[-1] == 1 else d[..., lo:lo + slot_chunk]
+
     parts = [
         _witness_map_kernel(
             comp, z_full[..., lo:lo + slot_chunk], z_io[..., lo:lo + slot_chunk],
-            z_mid[..., lo:lo + slot_chunk], d1r, d2r, d3r, domain,
+            z_mid[..., lo:lo + slot_chunk], dsl(d1r, lo), dsl(d2r, lo),
+            dsl(d3r, lo), domain,
         )
         for lo in range(0, n, slot_chunk)
     ]

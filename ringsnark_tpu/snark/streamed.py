@@ -61,6 +61,7 @@ __all__ = [
     "limb_slice",
     "StreamRecord",
     "stream_prove",
+    "stream_prove_rinocchio",
     "plan_chunks",
 ]
 
@@ -378,4 +379,236 @@ def stream_prove(
     )
     vk = VerificationKey(pk=pk, s=s, alpha=alpha, beta=beta, gamma=gamma,
                          delta=delta, sk_enc=sk_enc)
+    return proof, vk, rec
+
+
+# ---------------------------------------------------------------------------
+# streamed Rinocchio
+# ---------------------------------------------------------------------------
+
+
+def _cat_limbs(ectx, encs):
+    lvl = encs[0].level
+    assert all(e.level == lvl for e in encs)
+    return Encoding(
+        ectx,
+        jnp.concatenate([e.c0 for e in encs], axis=0),
+        jnp.concatenate([e.c1 for e in encs], axis=0),
+        lvl,
+    )
+
+
+def _shifted_rows(coeffs, dr, ctx):
+    """[a_0 - d, a_1, ..., a_{M-1}, d]: the d*Z fold (Z = X^M - 1) that puts
+    the ZK shift INSIDE the inner-product coefficient vector (the
+    reference's own TODO, `rinocchio.tcc:166`; see rinocchio.prover)."""
+    from ..ops.modops import sub_mod
+
+    head = sub_mod(coeffs[0], dr, ctx.p)[None]
+    tail = jnp.broadcast_to(dr[None], (1, *coeffs.shape[1:])).astype(jnp.uint32)
+    return jnp.concatenate([head, coeffs[1:], tail], axis=0)
+
+
+def stream_prove_rinocchio(
+    comp: CompiledR1CS,
+    params: SnarkParams,
+    primary,
+    auxiliary,
+    rng: np.random.Generator,
+    key,
+    *,
+    slab: int = 4096,
+    phase_rows: int = 1 << 16,
+    record: Optional[StreamRecord] = None,
+):
+    """Streamed Rinocchio setup + prove (`rinocchio.tcc:5-190` semantics).
+
+    Same limb-phasing / row-chunking as `stream_prove`; the CRS here is ~2x
+    groth16's (s_pows + alpha_s_pows + beta_prods) and the prover runs 10
+    inner products (9 against the two seeded s-power batches, F against
+    beta_prods), so this is the configuration that most needs streaming —
+    the resident prover tops out near 2^14 per chip.  Sampling order matches
+    `rinocchio.generator` + `rinocchio.prover` so a same-seed rng yields
+    identical trapdoor and proof plaintexts (tests rely on this).
+
+    Returns (proof, vk, record); vk carries a CRS-less ProvingKey stub.
+    """
+    from .rinocchio import Proof as RProof
+    from .rinocchio import ProvingKey as RProvingKey
+    from .rinocchio import VerificationKey as RVerificationKey
+
+    rec = record if record is not None else StreamRecord(sync=False)
+    ctx = params.ring
+    ectx = params.enc
+    L = ctx.L
+    M = max(comp.num_constraints, 1)
+    n_io = comp.primary_input_size + 1
+    n_aux = comp.num_variables - comp.primary_input_size
+    use_zk = n_aux > 0
+
+    # ---- common setup (full L) -- rng order mirrors rinocchio.generator ---
+    t0 = time.perf_counter()
+    domain = RootsDomain(ctx, M)
+    s = RingElem.random_exceptional_element(ctx, rng, domain)
+    _, sk_enc = keygen(ectx, rng)
+    alpha = RingElem.random_invertible_element(ctx, rng)
+    r_v = RingElem.random_invertible_element(ctx, rng)
+    r_w = RingElem.random_invertible_element(ctx, rng)
+    r_y = r_v * r_w
+    beta = RingElem.random_nonzero_element(ctx, rng)
+    qrp = r1cs_to_qrp_instance_map_with_evaluation(comp, s, domain)
+
+    s_pows_res = qrp.Ht.res  # [M+1, L, 1]
+    alpha_s_pows_res = ring_batch_scale(qrp.Ht, alpha).res
+    beta_prods_res = None
+    if use_zk:
+        aux_sl = slice(n_io, comp.num_variables + 1)
+        lincheck = ring_batch_scale(
+            ring_batch_scale(RingElem(ctx, qrp.At.res[aux_sl]), r_v)
+            + ring_batch_scale(RingElem(ctx, qrp.Bt.res[aux_sl]), r_w)
+            + ring_batch_scale(RingElem(ctx, qrp.Ct.res[aux_sl]), r_y),
+            beta,
+        )
+        beta_prods_res = lincheck.res
+    beta_Zt = beta * qrp.Zt
+    shift_terms = RingElem.stack(
+        [beta_Zt * r_v, beta_Zt * r_w, beta_Zt * r_y]
+    )  # the 3 F-shift CRS terms actually used by the prover
+    rec._sync(s_pows_res, alpha_s_pows_res)
+    rec.add("setup", "common", time.perf_counter() - t0)
+
+    # ---- witness map (full L) --------------------------------------------
+    t0 = time.perf_counter()
+    if use_zk:
+        d1 = RingElem.random_invertible_element(ctx, rng)
+        d2 = RingElem.random_invertible_element(ctx, rng)
+        d3 = RingElem.random_invertible_element(ctx, rng)
+    else:
+        d1 = d2 = d3 = RingElem.zero(ctx)
+    full, io, mid = _assignment_batches(ctx, primary, auxiliary)
+    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
+        comp, full.res, io.res, mid.res, d1.res, d2.res, d3.res, domain
+    )
+    if use_zk:
+        a_vec = _shifted_rows(a_mid, d1.res, ctx)
+        b_vec = _shifted_rows(b_mid, d2.res, ctx)
+        c_vec = _shifted_rows(c_mid, d3.res, ctx)
+    else:
+        a_vec, b_vec, c_vec = a_mid, b_mid, c_mid
+    if isinstance(auxiliary, RingElem):
+        aux_res = auxiliary.res
+    else:
+        aux_res = (
+            RingElem.stack(list(auxiliary)).res
+            if auxiliary
+            else jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)
+        )
+    rec._sync(a_vec, H)
+    rec.add("prove", "witness_map", time.perf_counter() - t0)
+
+    # ---- per-limb streamed CRS + the 10 inner products --------------------
+    B_max = max(M + 1, n_aux)
+    nchunks, chunk = plan_chunks(B_max, phase_rows, slab)
+    B_pad = nchunks * chunk
+    ums = params.use_modswitch
+    max_level = max(ectx.L_inner - ectx.floor_limbs, 0) if ums else 0
+
+    limb_elems: list[list[Encoding]] = []  # 9 proof elements per limb (+F)
+    for l in range(L):
+        params_l = limb_params(params, l)
+        ctx_l, ectx_l = params_l.ring, params_l.enc
+        sk_l = limb_secret_key(ectx_l, sk_enc, l)
+        keys = jax.random.split(jax.random.fold_in(key, l), 8)
+
+        t0 = time.perf_counter()
+        shifts_l = encode(
+            ectx_l, sk_l,
+            RingElem(ctx_l, limb_slice(ctx_l, shift_terms.res, l)), keys[0],
+        )
+        rec._sync(shifts_l.c0)
+        rec.add("setup", f"limb{l}:small", time.perf_counter() - t0)
+
+        main_pts = [
+            limb_slice(ctx_l, _pad_rows(v, B_pad), l)
+            for v in (a_vec, b_vec, c_vec, H)
+        ]
+        phases = [
+            ("s_pows", s_pows_res, main_pts, keys[1]),
+            ("alpha_s_pows", alpha_s_pows_res, main_pts, keys[2]),
+        ]
+        if use_zk:
+            phases.append(
+                ("beta_prods", beta_prods_res,
+                 [limb_slice(ctx_l, _pad_rows(aux_res, B_pad), l)], keys[3])
+            )
+
+        partials: dict[str, list] = {}
+        for name, ring_res, pts, enc_key in phases:
+            rows_l = limb_slice(ctx_l, _pad_rows(ring_res, B_pad), l)
+            accs = None
+            for ci in range(nchunks):
+                lo = ci * chunk
+                sub = RingElem(ctx_l, rows_l[lo : lo + chunk])
+                t0 = time.perf_counter()
+                senc = sd.encode_seeded(
+                    ectx_l, sk_l, sub, jax.random.fold_in(enc_key, ci), slab
+                )
+                rec._sync(senc.c0)
+                rec.add("setup", f"limb{l}:{name}+{lo}",
+                        time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                outs = sd.seeded_inner_product(
+                    senc, [pt[lo : lo + chunk] for pt in pts],
+                    use_modswitch=False,
+                )
+                accs = outs if accs is None else [
+                    a + b for a, b in zip(accs, outs)
+                ]
+                rec._sync(*[o.c0 for o in accs])
+                rec.add("prove", f"limb{l}:{name}+{lo}",
+                        time.perf_counter() - t0)
+                del senc
+            partials[name] = accs
+
+        t0 = time.perf_counter()
+        elems = []
+        # proof order: A, A', B, B', C, C', D, D' (rinocchio.hpp:117-146)
+        for i in range(4):
+            for name in ("s_pows", "alpha_s_pows"):
+                e = partials[name][i]
+                for _ in range(max_level):
+                    e = e.modswitch()
+                elems.append(e)
+        f_l = None
+        if use_zk:
+            f = partials["beta_prods"][0]
+            for _ in range(max_level):
+                f = f.modswitch()
+            # F shift terms multiply single FRESH encodings (level 0)
+            for i, d in enumerate((d1, d2, d3)):
+                d_l = RingElem(ctx_l, limb_slice(ctx_l, d.res, l))
+                f = f + d_l * shifts_l[i]
+            f_l = f
+        elems.append(f_l)
+        rec._sync(elems[0].c0)
+        rec.add("prove", f"limb{l}:finalize", time.perf_counter() - t0)
+        limb_elems.append(elems)
+
+    names = ("A", "A_prime", "B", "B_prime", "C", "C_prime", "D", "D_prime")
+    cat = {
+        n: _cat_limbs(ectx, [le[i] for le in limb_elems])
+        for i, n in enumerate(names)
+    }
+    F = (
+        _cat_limbs(ectx, [le[8] for le in limb_elems]) if use_zk else None
+    )
+    proof = RProof(F=F, **cat)
+    pk = RProvingKey(
+        constraint_system=None, compiled=comp, domain=domain, params=params,
+        s_pows=None, alpha_s_pows=None, beta_prods=None, beta_rv_ts=None,
+        beta_rw_ts=None, beta_ry_ts=None, alpha_rv_ts=None, alpha_rw_ts=None,
+        alpha_ry_ts=None, rv_vs=None, rw_ws=None, ry_ys=None,
+    )
+    vk = RVerificationKey(pk=pk, s=s, alpha=alpha, beta=beta, r_v=r_v,
+                          r_w=r_w, r_y=r_y, sk_enc=sk_enc)
     return proof, vk, rec

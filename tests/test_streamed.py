@@ -111,3 +111,67 @@ def test_plan_chunks():
         assert c % slab == 0
         assert n * c >= B
         assert n * c - B < c + slab  # bounded waste
+
+
+def test_stream_rinocchio_verifies_and_rejects(env):
+    from ringsnark_tpu.snark import rinocchio
+
+    params, comp, primary, aux = env
+    rng = np.random.default_rng(2)
+    proof, vk, rec = st.stream_prove_rinocchio(
+        comp, params, primary, aux, rng, jax.random.PRNGKey(12),
+        slab=8, phase_rows=16,
+    )
+    assert proof.F is not None  # aux present -> ZK on
+    assert rinocchio.verifier(vk, primary, proof)
+    bad = RingElem(params.ring, (primary + RingElem.one(params.ring)).res)
+    assert not rinocchio.verifier(vk, bad, proof)
+
+
+def test_stream_rinocchio_decodes_equal_to_resident(env):
+    """Same seeded rng => identical trapdoor and proof plaintexts vs the
+    resident rinocchio.generator + prover (ciphertexts differ)."""
+    from ringsnark_tpu.snark import rinocchio
+    from ringsnark_tpu.gadgets import PBVariableArray, Protoboard
+    from ringsnark_tpu.relations.r1cs import R1CSConstraint
+
+    params, comp, primary, aux = env
+    ectx = params.enc
+    proof_s, vk_s, _ = st.stream_prove_rinocchio(
+        comp, params, primary, aux, np.random.default_rng(9),
+        jax.random.PRNGKey(13), slab=8, phase_rows=16,
+    )
+    # resident path needs an R1CSConstraintSystem: rebuild the square chain
+    # as a protoboard circuit with identical matrices/assignment
+    ctx = params.ring
+    pb = Protoboard(ctx)
+    vars = PBVariableArray()
+    nv = comp.num_variables
+    vars.allocate(pb, nv, "x")
+    pb.set_input_sizes(comp.primary_input_size)
+    for i in range(comp.num_constraints):
+        pb.add_r1cs_constraint(
+            R1CSConstraint(vars[i], vars[i], vars[i + 1])
+        )
+    allv = list(primary) + list(aux)
+    for i, v in enumerate(allv):
+        pb.set_val(vars[i], v)
+    assert pb.is_satisfied()
+    rng = np.random.default_rng(9)
+    kp = rinocchio.generator(
+        pb.get_constraint_system(), params, rng, jax.random.PRNGKey(14)
+    )
+    proof_r = rinocchio.prover(
+        kp.pk, pb.primary_input(), pb.auxiliary_input(), rng
+    )
+    assert np.array_equal(np.asarray(vk_s.s.res), np.asarray(kp.vk.s.res))
+    assert np.array_equal(np.asarray(vk_s.r_y.res), np.asarray(kp.vk.r_y.res))
+    from ringsnark_tpu.encoding import decode
+
+    for name in ("A", "A_prime", "B", "B_prime", "C", "C_prime", "D",
+                 "D_prime", "F"):
+        a, b = getattr(proof_s, name), getattr(proof_r, name)
+        assert a.level == b.level, name
+        da = decode(ectx, vk_s.sk_enc, a)
+        db = decode(ectx, kp.vk.sk_enc, b)
+        assert np.array_equal(np.asarray(da.res), np.asarray(db.res)), name
