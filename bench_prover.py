@@ -43,6 +43,10 @@ def _sync(*arrays):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-m", type=int, default=16)
+    ap.add_argument("--system", choices=["groth16", "rinocchio"],
+                    default="groth16",
+                    help="rinocchio streams a ~2x CRS and 10 inner products "
+                         "(phased mode only; `rinocchio.tcc:75-190`)")
     ap.add_argument("--ring", choices=["zq", "rq"], default="zq")
     ap.add_argument("--N", type=int, default=256, help="outer degree for rq")
     ap.add_argument("--n-inner", type=int, default=4096)
@@ -123,9 +127,11 @@ def main():
     _sync(aux.res)
     print(f"[build] circuit {time.perf_counter()-t0:.2f}s", file=sys.stderr, flush=True)
 
+    if args.system == "rinocchio":
+        assert args.phased, "rinocchio benches via the streamed prover only"
     key = jax.random.key(0, impl=args.prng)
     result = {
-        "metric": f"groth16_prover_{args.ring}_2e{args.log_m}",
+        "metric": f"{args.system}_prover_{args.ring}_2e{args.log_m}",
         "unit": "s",
         "config": {
             "M": M, "ring": args.ring, "N": N, "L": args.L,
@@ -200,7 +206,11 @@ def main():
                 time.sleep(10)  # relay frees are async
             rec = st.StreamRecord(sync=True)
             t0 = time.perf_counter()
-            proof, vk, rec = st.stream_prove(
+            stream_fn = (
+                st.stream_prove if args.system == "groth16"
+                else st.stream_prove_rinocchio
+            )
+            proof, vk, rec = stream_fn(
                 comp, params, primary, aux, np.random.default_rng(p_i),
                 jax.random.fold_in(key, p_i),
                 slab=args.slab, phase_rows=args.phase_chunk, record=rec,
@@ -234,13 +244,16 @@ def main():
         )
 
     # ---- verify (shared): processed vk, then warm online verifies ---------
+    from ringsnark_tpu.snark import rinocchio as rn
+    system = groth16 if args.system == "groth16" else rn
+
     def verify_once(pvk):
         t0 = time.perf_counter()
-        ok = groth16.online_verifier(pvk, primary, proof)
+        ok = system.online_verifier(pvk, primary, proof)
         return ok, time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    pvk = groth16.verifier_process(vk)
+    pvk = system.verifier_process(vk)
     _sync(pvk.qrp.At.res)
     process_s = time.perf_counter() - t0
     ok, verify_cold = verify_once(pvk)
@@ -271,8 +284,11 @@ def main():
             for _ in range(args.cpu_slabs):
                 native.ip_accumulate(ct, pt, inner[0])
             per_slab = (time.perf_counter() - t0) / args.cpu_slabs
-            # full prover MAC: 4 IP-sides x 2 components x L x (M+1) terms
-            n_slabs_total = 4 * 2 * args.L * ((M + 1) / S)
+            # full prover MAC: groth16 = 4 IP-sides (A, B over s_pows; H
+            # over delta_ts; aux over delta_mid), rinocchio = 9 (4 vectors x
+            # 2 s-power batches + F) -- x 2 components x L x (M+1) terms
+            sides = 4 if args.system == "groth16" else 9
+            n_slabs_total = sides * 2 * args.L * ((M + 1) / S)
             cpu_mac_s = per_slab * n_slabs_total
             detail = ""
             if N > 1:
@@ -294,7 +310,7 @@ def main():
                 for _ in range(reps):
                     native.negacyclic_ntt(x, inner[0], w_, psi_)
                 per_ntt = (time.perf_counter() - t0) / reps
-                n_ntts = 4 * args.L * (M + 1) * L_inner
+                n_ntts = sides * args.L * (M + 1) * L_inner
                 cpu_ntt_s = per_ntt * n_ntts / native.max_threads()
                 detail = (f" + dense plain-NTT {cpu_ntt_s:.1f}s "
                           f"({per_ntt*1e6:.0f} us x {n_ntts} / "
