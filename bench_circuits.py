@@ -193,6 +193,75 @@ def main():
                 with open(args.out, "a") as f:
                     f.write(json.dumps(row) + "\n")
 
+        if cname == "logreg":
+            # FHE-side comparison points, as the reference benches Keygen /
+            # Eval / EncDec next to Setup/Prove/Verify
+            # (`bench_logistic_regression_inference.cpp:277-313`)
+            from ringsnark_tpu.models.fhe import OuterBGV
+            from ringsnark_tpu.rings.elem import RingElem
+
+            frng = np.random.default_rng(3)
+            t0 = time.perf_counter()
+            fhe = OuterBGV(ring, logT, frng)
+            _sync(fhe.s.res)
+            keygen_s = time.perf_counter() - t0
+
+            zero_tail = [0] * (ring.N - 1)
+            t0 = time.perf_counter()
+            cts1, cts2 = [], []
+            for i in range(nf):
+                cts1.append(fhe.encrypt([i % (1 << logT)] + zero_tail))
+                cts2.append(fhe.encrypt([(2 * i + 1) % (1 << logT)] + zero_tail))
+            _sync(cts1[-1][0].res, cts2[-1][0].res)
+            enc_s = time.perf_counter() - t0
+
+            def fhe_eval():
+                t0 = time.perf_counter()
+                acc = [RingElem.zero(ring)] * 3
+                for ct1, ct2 in zip(cts1, cts2):
+                    z = OuterBGV.multiply(ct1, ct2)
+                    acc = [a + b for a, b in zip(acc, z)]
+                # degree-2 sigmoid: square the 3-component result
+                sq = [
+                    acc[0] * acc[0],
+                    (acc[0] + acc[0]) * acc[1],
+                    acc[0] * acc[2] + acc[0] * acc[2] + acc[1] * acc[1],
+                    acc[1] * acc[2],
+                    acc[2] * acc[2],
+                ]
+                _sync(sq[0].res, sq[4].res)
+                return sq, time.perf_counter() - t0
+
+            sq, eval_cold = fhe_eval()
+            sq, eval_s = fhe_eval()
+
+            t0 = time.perf_counter()
+            msg = fhe.decrypt(
+                (sq[0], sq[1], sq[2])  # decrypting a 3-component ct
+            )
+            dec_s = time.perf_counter() - t0
+            print(
+                f"[TIME] {cname:>16s}/fhe-side  keygen {keygen_s:6.3f}s  "
+                f"enc({2*nf} cts) {enc_s:6.2f}s  eval {eval_s:6.2f}s "
+                f"(cold {eval_cold:.1f}s)  dec {dec_s:6.2f}s",
+                file=sys.stderr, flush=True,
+            )
+            row = {
+                "metric": "logreg_fhe_side",
+                "N": N, "features": nf,
+                "fhe_keygen_s": round(keygen_s, 4),
+                "fhe_enc_s": round(enc_s, 3),
+                "fhe_enc_count": 2 * nf,
+                "fhe_eval_s": round(eval_s, 4),
+                "fhe_eval_cold_s": round(eval_cold, 3),
+                "fhe_dec_s": round(dec_s, 3),
+                "device": str(dev),
+            }
+            print(json.dumps(row), flush=True)
+            if args.out:
+                with open(args.out, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+
 
 if __name__ == "__main__":
     main()
