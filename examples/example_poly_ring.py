@@ -5,7 +5,10 @@ x5 = x2*x3; x4 = (x0+x1)*x5 (x5 private), run through BOTH Rinocchio and
 ringGroth16, printing sizes and the verification bit — but asserted, not just
 printed.
 
-Run: python examples/example_poly_ring.py [--N 512] [--n-inner 1024]
+Defaults to the reference example's shape (N=4096, inner N'=8192,
+`example_SEAL.cpp:38-119`); pass --small for a seconds-scale toy shape.
+
+Run: python examples/example_poly_ring.py [--small] [--N 4096] [--n-inner 8192]
 """
 
 import argparse
@@ -74,7 +77,12 @@ def run(params: SnarkParams, seed: int = 0):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--N", type=int, default=256)
-    ap.add_argument("--n-inner", type=int, default=512)
+    ap.add_argument("--N", type=int, default=4096,
+                    help="outer degree (reference example_SEAL shape)")
+    ap.add_argument("--n-inner", type=int, default=8192)
+    ap.add_argument("--small", action="store_true",
+                    help="toy shape (N=256, N'=512) — seconds on a laptop")
     args = ap.parse_args()
+    if args.small:
+        args.N, args.n_inner = 256, 512
     run(make_params(args.N, args.n_inner))
