@@ -185,28 +185,34 @@ def _ntt_kernel_gridfree(
     L = len(primes)
 
     def fwd(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
+        # Stage body: out = shoup((partner ± x), tw) with the positioned
+        # twiddle row carrying 1 at a-positions (Shoup-by-1 is exact
+        # identity for x < p), so ONE full-width multiply serves both
+        # halves: a-pos gets (x + x[k+d])*1, b-pos (x[k-d] - x)*w.
+        # 2 rolls + 2 selects + 1 add + 1 mul vs the r3 form's extra
+        # submod+select.
         for s in range(n_stages):
             d = M >> (s + 1)
             is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
-            partner_fwd = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
-            partner_bwd = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
-            na = _addmod(x, partner_fwd, p)
-            sub = _submod(partner_bwd, x, p)
-            nb_ = _shoup_mul(sub, ptw_ref[l, s, :], ptw_sh_ref[l, s, :], p)
-            x = jnp.where(is_a, na, nb_)
+            pf = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
+            pb = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
+            t = jnp.where(is_a, pf, pb)
+            s_ = jnp.where(is_a, x, p - x)  # p - x <= p keeps the sum < 2p
+            x = _shoup_mul(
+                _addmod(t, s_, p), ptw_ref[l, s, :], ptw_sh_ref[l, s, :], p
+            )
         return x
 
     def inv(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
+        # inv DIT pairs share the twiddle index, so multiply FIRST and roll
+        # the product: m = w*x everywhere, a' = x + m[k+d], b' = x[k-d] - m.
+        # One Shoup multiply per stage instead of the r3 form's two.
         for s in range(n_stages):
             d = 1 << s
             is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
-            tw = ptw_ref[l, s, :]
-            tw_sh = ptw_sh_ref[l, s, :]
-            t_fwd = _shoup_mul(pltpu.roll(x, jnp.int32(M - d), 1), tw, tw_sh, p)
-            # a' = x[k] + w*x[k+d];  b' = x[k-d] - w*x[k]
-            a_new = _addmod(x, t_fwd, p)
-            t_self = _shoup_mul(x, tw, tw_sh, p)
-            b_new = _submod(pltpu.roll(x, jnp.int32(d), 1), t_self, p)
+            m = _shoup_mul(x, ptw_ref[l, s, :], ptw_sh_ref[l, s, :], p)
+            a_new = _addmod(x, pltpu.roll(m, jnp.int32(M - d), 1), p)
+            b_new = _submod(pltpu.roll(x, jnp.int32(d), 1), m, p)
             x = jnp.where(is_a, a_new, b_new)
         return x
 
@@ -473,24 +479,26 @@ def _outer_kernel(R: int, TB: int, W: int, primes: tuple[int, ...],
                 if negacyclic:
                     x = _shoup_mul(x, sc_ref[l], sc_sh_ref[l], p)
                 for i in range(s):
+                    # same single-multiply form as the gridfree fwd stage
+                    # (twiddle rows are 1 at a-rows)
                     d = R >> (i + 1)
                     is_a = (r_idx & jnp.uint32(2 * d - 1)) < d
                     pf = pltpu.roll(x, jnp.int32(R - d), 1)  # x[r+d] at r
                     pb = pltpu.roll(x, jnp.int32(d), 1)  # x[r-d] at r
-                    na = _addmod(x, pf, p)
-                    sub = _submod(pb, x, p)
-                    nb = _shoup_mul(sub, tw_ref[l, i], tw_sh_ref[l, i], p)
-                    x = jnp.where(is_a, na, nb)
+                    t = jnp.where(is_a, pf, pb)
+                    s_ = jnp.where(is_a, x, p - x)
+                    x = _shoup_mul(
+                        _addmod(t, s_, p), tw_ref[l, i], tw_sh_ref[l, i], p
+                    )
             else:
                 for i in range(s - 1, -1, -1):
+                    # multiply-then-roll: one Shoup per stage (pairs share
+                    # the twiddle index)
                     d = R >> (i + 1)
                     is_a = (r_idx & jnp.uint32(2 * d - 1)) < d
-                    tw = tw_ref[l, i]
-                    tw_sh = tw_sh_ref[l, i]
-                    t_fwd = _shoup_mul(pltpu.roll(x, jnp.int32(R - d), 1), tw, tw_sh, p)
-                    a_new = _addmod(x, t_fwd, p)
-                    t_self = _shoup_mul(x, tw, tw_sh, p)
-                    b_new = _submod(pltpu.roll(x, jnp.int32(d), 1), t_self, p)
+                    m = _shoup_mul(x, tw_ref[l, i], tw_sh_ref[l, i], p)
+                    a_new = _addmod(x, pltpu.roll(m, jnp.int32(R - d), 1), p)
+                    b_new = _submod(pltpu.roll(x, jnp.int32(d), 1), m, p)
                     x = jnp.where(is_a, a_new, b_new)
                 if negacyclic:
                     x = _shoup_mul(x, sc_ref[l], sc_sh_ref[l], p)
