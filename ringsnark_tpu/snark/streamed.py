@@ -232,6 +232,10 @@ def stream_prove(
     delta_mid_res = ring_batch_scale(
         RingElem(ctx, combo.res[n_io:]), delta_inv
     ).res
+    # free the full-L instance evaluation + combo now: at Rq shapes qrp's
+    # At/Bt/Ct and combo are ~0.5 GiB each and nothing below needs them
+    # (the r4 rq14 first attempt OOM'd HBM on exactly this residency)
+    del qrp, combo
     rec._sync(s_pows_res, delta_ts_res, delta_mid_res)
     rec.add("setup", "common", time.perf_counter() - t0)
 
@@ -244,6 +248,7 @@ def stream_prove(
     )
     a_full = add_mod(a_io, a_mid, ctx.p)
     b_full = add_mod(b_io, b_mid, ctx.p)
+    del a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, full, io, mid
     if isinstance(auxiliary, RingElem):
         aux_res = auxiliary.res
     else:
@@ -474,6 +479,7 @@ def stream_prove_rinocchio(
     shift_terms = RingElem.stack(
         [beta_Zt * r_v, beta_Zt * r_w, beta_Zt * r_y]
     )  # the 3 F-shift CRS terms actually used by the prover
+    del qrp  # free At/Bt/Ct (Rq-scale residency; see stream_prove)
     rec._sync(s_pows_res, alpha_s_pows_res)
     rec.add("setup", "common", time.perf_counter() - t0)
 
@@ -495,6 +501,7 @@ def stream_prove_rinocchio(
         c_vec = _shifted_rows(c_mid, d3.res, ctx)
     else:
         a_vec, b_vec, c_vec = a_mid, b_mid, c_mid
+    del a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, full, io, mid
     if isinstance(auxiliary, RingElem):
         aux_res = auxiliary.res
     else:
