@@ -18,6 +18,9 @@ run rin16L2      7200 python bench_prover.py --system rinocchio --log-m 16 \
                       --out BENCH_PROVER_r04.json
 run circuits_r04 10800 python bench_circuits.py --preset reference \
                       --out BENCH_CIRCUITS_r04.json
+run rq14         7200 python bench_prover.py --ring rq --N 8192 \
+                      --n-inner 16384 --log-m 14 --phased --phase-chunk 4096 \
+                      --slab 1024 --cpu-slabs 2 --out BENCH_PROVER_r04.json
 run rq15         7200 python bench_prover.py --ring rq --N 8192 \
-                      --n-inner 16384 --log-m 15 --phased --phase-chunk 8192 \
+                      --n-inner 16384 --log-m 15 --phased --phase-chunk 4096 \
                       --slab 1024 --cpu-slabs 2 --out BENCH_PROVER_r04.json
