@@ -107,15 +107,16 @@ def main():
         cannot return this before the producing computation finished."""
         return np.asarray(jax.device_get(v[0, 0, :4]))
 
-    def make_chain(backend):
+    def make_chain(backend, inverse=False):
         """One compiled REP-iteration unrolled dependent-NTT chain (loop
         primitives hang the remote compiler; unrolled chains compile)."""
         prev = nttm.set_backend(backend)
+        step = nttm.negacyclic_intt_nat if inverse else nttm.negacyclic_ntt_rev
 
         @jax.jit
         def chain(v):
             for _ in range(REP):
-                v = nttm.negacyclic_ntt_rev(v, plan)
+                v = step(v, plan)
             return v
 
         x = jnp.asarray(x_np)
@@ -154,12 +155,12 @@ def main():
     x = jnp.asarray(x_np)
     failures = []
 
-    def measure(backend):
+    def measure(backend, inverse=False):
         """Returns (dt_per_batch, out, linearity, compile_s) with honest sync.
 
         dt is the K=4->16 slope; `linearity` is the slope ratio
         (t16-t4)/(t4-t1) / 4, ~1.0 when timing scales with work."""
-        chain, out, comp = make_chain(backend)
+        chain, out, comp = make_chain(backend, inverse)
         t1 = best_of(chain, x, 1)
         t4 = best_of(chain, x, 4)
         t16 = best_of(chain, x, 16)
@@ -170,7 +171,7 @@ def main():
         dt = slope_b
         overhead = t1 - REP * dt
         print(
-            f"[bench] {backend}: {dt*1e6:.1f} us/batch (slope; early slope "
+            f"[bench] {backend}{'-inv' if inverse else ''}: {dt*1e6:.1f} us/batch (slope; early slope "
             f"{slope_a*1e6:.1f} us, ratio {linearity:.2f} expected ~1.0, "
             f"fixed overhead {overhead*1e3:.1f} ms/call, compile {comp:.1f}s)",
             file=sys.stderr, flush=True,
@@ -202,6 +203,26 @@ def main():
                 raise
             print(
                 f"[bench] pallas kernel skipped: {type(e).__name__}: {str(e)[:300]}",
+                file=sys.stderr, flush=True,
+            )
+
+    # --- Pallas inverse leg (the witness map / modswitch direction;
+    # multiply-then-roll stages — see DESIGN §11) ----------------------------
+    dt_pallas_inv = None
+    if on_tpu and dt_pallas is not None:
+        try:
+            prev = nttm.set_backend("xla")
+            ref_inv = np.asarray(nttm.negacyclic_intt_nat(x, plan))
+            nttm.set_backend("pallas")
+            got_inv = np.asarray(nttm.negacyclic_intt_nat(x, plan))
+            nttm.set_backend(prev)
+            assert (got_inv == ref_inv).all(), "pallas inverse mismatch vs xla"
+            dt_pallas_inv, _, _, _ = measure("pallas", inverse=True)
+        except Exception as e:
+            if failures:
+                raise
+            print(
+                f"[bench] pallas inverse skipped: {type(e).__name__}: {str(e)[:300]}",
                 file=sys.stderr, flush=True,
             )
 
@@ -283,6 +304,8 @@ def main():
                 "linearity_pallas": None if lin_p is None else round(lin_p, 2),
                 "cpu_threads": n_thr,
                 "vpu_roofline_pct": round(vpu_pct, 2),
+                **({"pallas_inv_us": round(dt_pallas_inv * 1e6, 1)}
+                   if dt_pallas_inv else {}),
             }
         ),
         flush=True,

@@ -185,22 +185,19 @@ def _ntt_kernel_gridfree(
     L = len(primes)
 
     def fwd(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
-        # Stage body: out = shoup((partner ± x), tw) with the positioned
-        # twiddle row carrying 1 at a-positions (Shoup-by-1 is exact
-        # identity for x < p), so ONE full-width multiply serves both
-        # halves: a-pos gets (x + x[k+d])*1, b-pos (x[k-d] - x)*w.
-        # 2 rolls + 2 selects + 1 add + 1 mul vs the r3 form's extra
-        # submod+select.
+        # r3 form.  A "single-multiply" variant (out = shoup(partner ± x, tw)
+        # exploiting the 1-twiddles at a-positions) measured 14% SLOWER on
+        # chip (157 vs 138 us/batch, chip_logs/ntt_r04.log): its two extra
+        # full-width selects cost more than the submod they replace.
         for s in range(n_stages):
             d = M >> (s + 1)
             is_a = (lane_idx & jnp.uint32(2 * d - 1)) < d
-            pf = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
-            pb = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
-            t = jnp.where(is_a, pf, pb)
-            s_ = jnp.where(is_a, x, p - x)  # p - x <= p keeps the sum < 2p
-            x = _shoup_mul(
-                _addmod(t, s_, p), ptw_ref[l, s, :], ptw_sh_ref[l, s, :], p
-            )
+            partner_fwd = pltpu.roll(x, jnp.int32(M - d), 1)  # x[k+d] at k
+            partner_bwd = pltpu.roll(x, jnp.int32(d), 1)  # x[k-d] at k
+            na = _addmod(x, partner_fwd, p)
+            sub = _submod(partner_bwd, x, p)
+            nb_ = _shoup_mul(sub, ptw_ref[l, s, :], ptw_sh_ref[l, s, :], p)
+            x = jnp.where(is_a, na, nb_)
         return x
 
     def inv(x, p, ptw_ref, ptw_sh_ref, l, lane_idx):
@@ -479,17 +476,16 @@ def _outer_kernel(R: int, TB: int, W: int, primes: tuple[int, ...],
                 if negacyclic:
                     x = _shoup_mul(x, sc_ref[l], sc_sh_ref[l], p)
                 for i in range(s):
-                    # same single-multiply form as the gridfree fwd stage
-                    # (twiddle rows are 1 at a-rows)
+                    # r3 form (see the gridfree fwd note: the single-multiply
+                    # variant measured slower on chip)
                     d = R >> (i + 1)
                     is_a = (r_idx & jnp.uint32(2 * d - 1)) < d
                     pf = pltpu.roll(x, jnp.int32(R - d), 1)  # x[r+d] at r
                     pb = pltpu.roll(x, jnp.int32(d), 1)  # x[r-d] at r
-                    t = jnp.where(is_a, pf, pb)
-                    s_ = jnp.where(is_a, x, p - x)
-                    x = _shoup_mul(
-                        _addmod(t, s_, p), tw_ref[l, i], tw_sh_ref[l, i], p
-                    )
+                    na = _addmod(x, pf, p)
+                    sub = _submod(pb, x, p)
+                    nb = _shoup_mul(sub, tw_ref[l, i], tw_sh_ref[l, i], p)
+                    x = jnp.where(is_a, na, nb)
             else:
                 for i in range(s - 1, -1, -1):
                     # multiply-then-roll: one Shoup per stage (pairs share
