@@ -77,6 +77,31 @@ def main():
                 ectx, jax.random.fold_in(k, i), (S,))[0, 0, 0, :8]
         return jax.lax.scan(step, None, jnp.arange(n))[1]
 
+    @partial(jax.jit, static_argnames=("n",))
+    def norm_only(k, n):
+        """The gaussian draw + round/clip alone (no NTT)."""
+        def step(_, i):
+            e = jnp.clip(jnp.round(jax.random.normal(
+                jax.random.fold_in(k, i), (S, ectx.L, ectx.n_inner)
+            ) * ectx.error_stddev), -64, 64).astype(jnp.int32)
+            return None, e[0, 0, :8]
+        return jax.lax.scan(step, None, jnp.arange(n))[1]
+
+    @partial(jax.jit, static_argnames=("n",))
+    def errntt_only(res, n):
+        """The per-limb NTT alone on a fixed residue slab (inside a scan,
+        like the encode kernel runs it)."""
+        from ringsnark_tpu.ops import ntt as _ntt
+
+        def step(_, i):
+            # vary the input per step so XLA cannot hoist the invariant NTT
+            out = _ntt.negacyclic_ntt_rev(
+                jnp.bitwise_xor(res, i.astype(jnp.uint32) & jnp.uint32(1)),
+                ectx.inner_plan(0),
+            )
+            return None, out[0, 0, 0, :8]
+        return jax.lax.scan(step, None, jnp.arange(n))[1]
+
     def encrypt(k):
         return sd.encode_seeded(ectx, sk, rows, k, S).c0
 
@@ -102,6 +127,17 @@ def main():
            "device": str(dev)}
     res["a_only_s"] = round(timed("a_only", lambda: a_only(key, nslab)), 4)
     res["err_only_s"] = round(timed("err_only", lambda: err_only(key, nslab)), 4)
+    res["norm_only_s"] = round(
+        timed("norm_only", lambda: norm_only(key, nslab)), 4
+    )
+    res_slab = jnp.asarray(
+        np.random.default_rng(1).integers(
+            0, inner[0], (S, 1, args.L_inner, args.n_inner), dtype=np.uint64
+        ).astype(np.uint32)
+    )
+    res["errntt_only_s"] = round(
+        timed("errntt_only", lambda: errntt_only(res_slab, nslab)), 4
+    )
     res["encrypt_s"] = round(timed("encrypt", lambda: encrypt(key)), 4)
     senc = sd.encode_seeded(ectx, sk, rows, key, S)
     res["mac2_s"] = round(
