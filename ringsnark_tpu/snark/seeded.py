@@ -127,30 +127,40 @@ def _pad_slab(arr, slab: int):
     return jnp.pad(arr, [(0, tgt - B)] + [(0, 0)] * (arr.ndim - 1))
 
 
-@partial(jax.jit, static_argnames=("ctx", "slab", "nslab"))
+@partial(jax.jit, static_argnames=("ctx", "dense"))
+def _encode_slab_kernel(ctx: EncodingContext, s_ntt, data_i, key,
+                        dense: bool):
+    """c0 of one slab (c1 discarded — regenerated from the key by the MAC)."""
+    if dense:
+        c0, _c1 = _encrypt_from_m(ctx, s_ntt, data_i, key)
+    else:
+        c0, _c1 = _encrypt_kernel(ctx, s_ntt, data_i, key)
+    return c0
+
+
 def _encode_seeded_kernel(ctx: EncodingContext, s_ntt, data_pad, key,
                           slab: int, nslab: int):
-    dense = ctx.ring.N > 1
+    # Python loop over slabs, ONE jitted per-slab kernel reused: keeps the
+    # error-sampling NTT a TOP-LEVEL Pallas call.  The r3 lax.scan form ran
+    # the transform inside the scan body, where it lowered off the fast path
+    # (measured: the error leg was 586 of 608 ms per 65536-row chunk —
+    # chip_logs/encprof_r04.log); dispatches pipeline on device, so the loop
+    # adds no sync overhead.  Slab i still draws from fold_in(key, i) — c1
+    # regeneration in the MAC is bit-identical.
+    #
     # dense rings: data_pad is the PRE-TRANSFORMED [B, L, L', N'] operand
-    # (the per-term plaintext NTT storm is hoisted out of the scan — see
-    # `_pre_ntt_chunked`: scan-of-NTT programs hang the remote compiler, and
-    # slab-chunked separate calls stay under the Pallas call-volume cap).
-    # scalar fast path: data_pad is the raw [B, L, 1] slot batch; the
-    # (NTT-free) broadcast happens inside the scan so the [B, L, L', N']
-    # operand is never materialized in HBM.
-    xs_data = data_pad.reshape(nslab, slab, *data_pad.shape[1:])
-
-    def step(_, xs):
-        i, data_i = xs
-        k = jax.random.fold_in(key, i)
-        if dense:
-            c0, _c1 = _encrypt_from_m(ctx, s_ntt, data_i, k)
-        else:
-            c0, _c1 = _encrypt_kernel(ctx, s_ntt, data_i, k)
-        return None, c0
-
-    _, c0 = jax.lax.scan(step, None, (jnp.arange(nslab), xs_data))
-    return c0.reshape(nslab * slab, ctx.L, ctx.L_inner, ctx.n_inner)
+    # (see `_pre_ntt_chunked`); scalar path: the raw [B, L, 1] slot batch
+    # (the NTT-free broadcast happens inside the kernel, so the full
+    # [B, L, L', N'] plaintext operand is never materialized in HBM).
+    dense = ctx.ring.N > 1
+    c0s = [
+        _encode_slab_kernel(
+            ctx, s_ntt, data_pad[i * slab : (i + 1) * slab],
+            jax.random.fold_in(key, i), dense,
+        )
+        for i in range(nslab)
+    ]
+    return jnp.concatenate(c0s, axis=0) if len(c0s) > 1 else c0s[0]
 
 
 def _pre_ntt_chunked(ctx: EncodingContext, arr, chunk: int):
