@@ -167,15 +167,29 @@ def prover(
     """Prove (`groth16.tcc:69-115`).  Non-ZK: d1 = d2 = d3 = 0 (hardcoded
     `use_zk = false` in the reference, mirrored and documented).
 
-    Delegates to the single-jit `pipeline.groth16_core` (witness map + all
-    inner products in one compiled graph)."""
-    from ..reductions.r1cs_to_qrp import _assignment_batches
-    from .pipeline import groth16_core, groth16_proof_levels
+    Slot-chunked witness map + the jitted `pipeline.groth16_ip_core` for the
+    inner products — two moderate compiled programs instead of the one
+    mega-graph (`pipeline.groth16_core`, still used by the sharded path),
+    which crashed the remote compiler at dense reference shapes."""
+    import jax.numpy as jnp
+
+    from ..ops.modops import add_mod
+    from ..reductions.r1cs_to_qrp import (
+        _assignment_batches,
+        witness_map_kernel_chunked,
+    )
+    from .pipeline import groth16_ip_core, groth16_proof_levels
 
     ctx = pk.params.ring
     ectx = pk.params.enc
     ums = pk.params.use_modswitch
     full, io, mid = _assignment_batches(ctx, primary_input, auxiliary_input)
+    zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
+    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
+        pk.compiled, full.res, io.res, mid.res, zero, zero, zero, pk.domain
+    )
+    a_full = add_mod(a_io, a_mid, ctx.p)
+    b_full = add_mod(b_io, b_mid, ctx.p)
     crs = {
         "s_pows": (pk.s_pows.c0, pk.s_pows.c1),
         "delta_ts": (pk.delta_ts.c0, pk.delta_ts.c1),
@@ -193,9 +207,8 @@ def prover(
         aux_arr = (
             RingElem.stack(list(auxiliary_input)).res if auxiliary_input else None
         )
-    A, B, C = groth16_core(
-        pk.compiled, crs, full.res, io.res, mid.res, aux_arr,
-        pk.domain, ectx, ums,
+    A, B, C = groth16_ip_core(
+        crs, a_full, b_full, H, aux_arr, pk.domain.m, ectx, ums
     )
     la, lb, lc = groth16_proof_levels(ectx, ums)
     return Proof(

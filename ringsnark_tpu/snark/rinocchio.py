@@ -210,34 +210,61 @@ def prover(
     # and leaves this fold as a TODO (`rinocchio.tcc:166`); folding keeps
     # every ciphertext-plaintext multiply on fresh CRS encodings — essential
     # for the 31-bit-limb noise budget and two inner products cheaper.
-    # The whole prover below is one jitted graph (pipeline.rinocchio_core).
-    from ..reductions.r1cs_to_qrp import _assignment_batches
-    from .pipeline import rinocchio_core, groth16_proof_levels
+    #
+    # Structure: slot-chunked witness map + per-IP jitted inner products.
+    # (The former single-graph `pipeline.rinocchio_core` form remains for the
+    # sharded path, but at dense reference shapes — logreg, N=2048 — its one
+    # mega-program crashed the remote compiler; the 8 main IPs here share two
+    # compiled shapes, so this splits compile cost without warm-time loss.)
+    import jax.numpy as jnp
+    from ..ops.modops import sub_mod
+    from ..reductions.r1cs_to_qrp import (
+        _assignment_batches,
+        witness_map_kernel_chunked,
+    )
+    from ..encoding.encoding import inner_product
 
     ectx = pk.params.enc
     ums = pk.params.use_modswitch
     full, io, mid = _assignment_batches(ctx, primary_input, auxiliary_input)
-    crs = {
-        "s_pows": (pk.s_pows.c0, pk.s_pows.c1),
-        "alpha_s_pows": (pk.alpha_s_pows.c0, pk.alpha_s_pows.c1),
-        "beta_prods": None
-        if pk.beta_prods is None
-        else (pk.beta_prods.c0, pk.beta_prods.c1),
-    }
-    aux_arr = (
-        RingElem.stack(list(auxiliary_input)).res if auxiliary_input else None
+    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
+        pk.compiled, full.res, io.res, mid.res, d1.res, d2.res, d3.res,
+        pk.domain,
     )
-    outs, f_arrs = rinocchio_core(
-        pk.compiled, crs, full.res, io.res, mid.res, aux_arr,
-        d1.res, d2.res, d3.res, pk.domain, ectx, ums, use_zk,
-    )
-    lvl = groth16_proof_levels(ectx, ums)[0]
-    encs = [Encoding(ectx, c0, c1, lvl) for (c0, c1) in outs]
+
+    def shifted(coeffs, dr):
+        head = sub_mod(coeffs[0], dr, ctx.p)[None]
+        tail = jnp.broadcast_to(dr[None], (1, *coeffs.shape[1:])).astype(
+            jnp.uint32
+        )
+        return jnp.concatenate([head, coeffs[1:], tail], axis=0)
+
+    if use_zk:
+        vecs = [shifted(a_mid, d1.res), shifted(b_mid, d2.res),
+                shifted(c_mid, d3.res), H]
+    else:
+        vecs = [a_mid, b_mid, c_mid, H]
+
+    B = pk.s_pows.c0.shape[0]
+
+    def pad(arr):
+        if arr.shape[0] == B:
+            return arr
+        return jnp.pad(
+            arr, [(0, B - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        )
+
+    encs = []
+    for v in vecs:
+        ve = RingElem(ctx, pad(v))
+        encs.append(inner_product(pk.s_pows, ve, ums))
+        encs.append(inner_product(pk.alpha_s_pows, ve, ums))
     a_enc, alpha_a_enc, b_enc, alpha_b_enc, c_enc, alpha_c_enc, d_enc, alpha_d_enc = encs
 
     f_enc = None
-    if f_arrs is not None:
-        f_enc = Encoding(ectx, f_arrs[0], f_arrs[1], lvl)
+    if pk.beta_prods is not None and auxiliary_input:
+        aux_arr = RingElem.stack(list(auxiliary_input))
+        f_enc = inner_product(pk.beta_prods, aux_arr, ums)
         if use_zk:
             # F shift terms multiply single FRESH encodings (level 0)
             f_enc = f_enc + d1 * pk.beta_rv_ts
