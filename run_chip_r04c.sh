@@ -21,3 +21,5 @@ run zq18L3b      7200 python bench_prover.py --log-m 18 --L 3 --margin 4 \
                       --out BENCH_PROVER_r04.json
 run zq16L1b      7200 python bench_prover.py --log-m 16 --margin 6 \
                       --skip-cpu --out BENCH_PROVER_r04.json
+run logreg_r04   7200 python bench_circuits.py --preset reference \
+                      --circuit logreg --out BENCH_CIRCUITS_r04.json
