@@ -102,14 +102,39 @@ def _device_square_chain(ctx: RingContext, x0: np.ndarray, nv: int):
             exps[i, l] = e
             e = (e * 2) % (q - 1)
     nbits = max(int(q).bit_length() for q in ctx.primes)
-    x = jnp.asarray(x0)  # [L, n]
-    acc = None
-    for b in range(nbits):
-        bit = jnp.asarray(((exps >> np.uint64(b)) & np.uint64(1)).astype(np.uint32))
-        term = jnp.where(bit[:, :, None] == 1, x[None], jnp.uint32(1))
-        acc = term if acc is None else mul_mod(acc, term, p, mu, pb)
-        if b + 1 < nbits:
-            x = mul_mod(x, x, p, mu, pb)
+
+    # squared bases x0^(2^b): [nbits, L, n] — tiny; computed eagerly once
+    bases = [jnp.asarray(x0)]
+    for b in range(1, nbits):
+        bases.append(mul_mod(bases[-1], bases[-1], p, mu, pb))
+    bases = jnp.stack(bases)
+
+    @jax.jit
+    def chunk_fn(bits_c):  # [rows, L, nbits] uint32 -> [rows, L, n]
+        acc = None
+        for b in range(nbits):
+            term = jnp.where(
+                bits_c[:, :, b, None] == 1, bases[b][None], jnp.uint32(1)
+            )
+            acc = term if acc is None else mul_mod(acc, term, p, mu, pb)
+        return acc
+
+    # row chunks under one jit each (same shapes -> one compile): the r4
+    # eager form materialized ~31 full-size intermediates with the relay's
+    # deferred frees and OOM'd HBM at nv=2^15, N=8192
+    bits = np.stack(
+        [((exps >> np.uint64(b)) & np.uint64(1)).astype(np.uint32)
+         for b in range(nbits)], axis=-1,
+    )  # [nv, L, nbits]
+    rows = max(1, min(nv, (64 << 20) // max(1, L * n * 4)))
+    pad = (-nv) % rows
+    if pad:
+        bits = np.concatenate([bits, bits[:pad]], axis=0)
+    outs = [
+        chunk_fn(jnp.asarray(bits[lo : lo + rows]))
+        for lo in range(0, bits.shape[0], rows)
+    ]
+    acc = jnp.concatenate(outs, axis=0)[:nv] if len(outs) > 1 else outs[0][:nv]
     return acc
 
 

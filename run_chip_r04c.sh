@@ -23,3 +23,6 @@ run zq16L1b      7200 python bench_prover.py --log-m 16 --margin 6 \
                       --skip-cpu --out BENCH_PROVER_r04.json
 run logreg_r04   7200 python bench_circuits.py --preset reference \
                       --circuit logreg --out BENCH_CIRCUITS_r04.json
+run rq15b        7200 python bench_prover.py --ring rq --N 8192 \
+                      --n-inner 16384 --log-m 15 --phased --phase-chunk 4096 \
+                      --slab 1024 --cpu-slabs 2 --out BENCH_PROVER_r04.json
