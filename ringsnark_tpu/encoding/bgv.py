@@ -95,19 +95,31 @@ def _sample_uniform(ctx: EncodingContext, key, batch_shape):
     return jnp.stack(cols, axis=-2)  # [*, L, L', N']
 
 
-def _sample_error_ntt(ctx: EncodingContext, key, batch_shape):
-    """Rounded-Gaussian integer error poly, per inner limb, NTT form.
+def _cbd_k(stddev: float) -> int:
+    """Centered-binomial parameter with variance k/2 >= stddev^2."""
+    return max(1, int(np.ceil(2.0 * stddev * stddev)))
 
-    |e| <= 64 << Q_j, so the per-limb residue is a conditional add — no
-    emulated-int64 `%` (which dominated the r3 encode profile; setup was
-    2-5x the prove time, VERDICT r3 weak #5)."""
-    e = jnp.clip(
-        jnp.round(
-            jax.random.normal(key, (*batch_shape, ctx.L, ctx.n_inner))
-            * ctx.error_stddev
-        ),
-        -64, 64,
-    ).astype(jnp.int32)
+
+def _sample_error_ntt(ctx: EncodingContext, key, batch_shape):
+    """Centered-binomial error poly (variance k/2, k = ceil(2*sigma^2)),
+    per inner limb, NTT form.
+
+    Deviation from SEAL's clipped discrete Gaussian: CBD matches the target
+    variance (sigma=3.2 -> k=21, sigma_cbd=3.24) and is the standard
+    Gaussian replacement in lattice schemes (Kyber/NewHope).  The switch is
+    a measured necessity: `jax.random.normal`'s erfinv on the VPU measured 661 ms per
+    65536-row encode chunk (the whole encrypt was 608 ms) (chip_logs/encprof_r04c.log) —
+    CBD is two popcounts per coefficient.  |e| <= k << Q_j, so the
+    per-limb residue is a conditional add."""
+    k = _cbd_k(ctx.error_stddev)
+    assert k <= 32, "CBD mask must fit one uint32 draw per side"
+    mask = jnp.uint32((1 << k) - 1)
+    shape = (*batch_shape, ctx.L, ctx.n_inner)
+    u = jax.random.bits(key, (2, *shape), dtype=jnp.uint32)
+    e = (
+        jax.lax.population_count(u[0] & mask).astype(jnp.int32)
+        - jax.lax.population_count(u[1] & mask).astype(jnp.int32)
+    )
     Q = jnp.asarray(ctx.Q_np.astype(np.int32))[:, None]  # [L', 1]
     e_ = e[..., :, None, :]  # [*, L, 1, N'] — broadcasts against Q [L', 1]
     res = jnp.where(e_ < 0, e_ + Q, e_).astype(jnp.uint32)
