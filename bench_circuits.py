@@ -37,6 +37,14 @@ def _sync(*arrays):
         np.asarray(a.reshape(-1)[:4])
 
 
+def _timed_verify(system, vk, pb, proof):
+    import time as _t
+
+    t0 = _t.perf_counter()
+    ok = system.verifier(vk, pb.primary_input(), proof)
+    return ok, _t.perf_counter() - t0
+
+
 REFERENCE_SHAPES = {
     # circuit: (outer N, inner N', logT-or-None, features-or-None)
     "plaintext_check": (2048, 16384, 32, None),
@@ -58,6 +66,12 @@ def main():
                     help="run only this circuit (default: all four)")
     ap.add_argument("--system", default=None,
                     choices=[None, "rinocchio", "groth16"])
+    ap.add_argument("--streamed", action="store_true",
+                    help="prove via the limb-phased streamed provers "
+                         "(snark/streamed.py) — the production path when the "
+                         "resident CRS approaches HBM (logreg/rinocchio at "
+                         "the reference shape is ~9 GiB)")
+    ap.add_argument("--slab", type=int, default=1024)
     ap.add_argument("--cpu", action="store_true",
                     help="run on the CPU backend (default device is the "
                          "axon TPU; env vars alone are ignored)")
@@ -140,7 +154,65 @@ def main():
         rng = np.random.default_rng(0)
         pb = builders[cname](ring, rng, logT, nf)
         assert pb.is_satisfied(), f"{cname} witness invalid"
-        for sname, system in systems.items():
+        if args.streamed:
+            from ringsnark_tpu.snark import streamed as st
+            from ringsnark_tpu.rings.elem import RingElem
+
+            comp = pb.get_constraint_system().compile(ring)
+            primary = RingElem.stack(pb.primary_input())
+            aux = (
+                RingElem.stack(pb.auxiliary_input())
+                if pb.auxiliary_input() else []
+            )
+            for sname, system in systems.items():
+                fn = (st.stream_prove if sname == "groth16"
+                      else st.stream_prove_rinocchio)
+                proof = vk = None
+                for p_i in range(2):
+                    if proof is not None:
+                        del proof, vk
+                        time.sleep(5)
+                    rec = st.StreamRecord(sync=True)
+                    proof, vk, rec = fn(
+                        comp, params, primary, aux,
+                        np.random.default_rng(p_i), jax.random.PRNGKey(p_i),
+                        slab=args.slab, record=rec,
+                    )
+                    setup_s, prove_s = rec.total("setup"), rec.total("prove")
+                    if p_i == 0:
+                        setup_cold, prove_cold = setup_s, prove_s
+                ok, verify_cold = _timed_verify(system, vk, pb, proof)
+                assert ok, f"{cname}/{sname} streamed verification failed"
+                ok, verify_s = _timed_verify(system, vk, pb, proof)
+                print(
+                    f"[TIME] {cname:>16s}/{sname:<9s} (streamed) setup "
+                    f"{setup_s:7.2f}s (cold {setup_cold:.1f}s)  prove "
+                    f"{prove_s:7.3f}s (cold {prove_cold:.1f}s)  verify "
+                    f"{verify_s:6.2f}s (cold {verify_cold:.1f}s)  "
+                    f"({pb.num_constraints()} constraints)",
+                    file=sys.stderr, flush=True,
+                )
+                row = {
+                    "metric": f"{cname}_{sname}",
+                    "constraints": pb.num_constraints(),
+                    "N": N, "n_inner": n_inner, "streamed": True,
+                    "setup_s": round(setup_s, 3),
+                    "setup_cold_s": round(setup_cold, 3),
+                    "prove_s": round(prove_s, 4),
+                    "prove_cold_s": round(prove_cold, 3),
+                    "verify_s": round(verify_s, 3),
+                    "verify_cold_s": round(verify_cold, 3),
+                    "proof_bits": proof.size_in_bits(),
+                    "device": str(dev),
+                }
+                print(json.dumps(row), flush=True)
+                if args.out:
+                    with open(args.out, "a") as f:
+                        f.write(json.dumps(row) + "\n")
+            systems_for_resident = {}
+        else:
+            systems_for_resident = systems
+        for sname, system in systems_for_resident.items():
             t0 = time.perf_counter()
             kp = system.generator(
                 pb.get_constraint_system(), params, rng, jax.random.PRNGKey(1)

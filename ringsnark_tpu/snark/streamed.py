@@ -264,7 +264,7 @@ def stream_prove(
     # one (nchunks, chunk) plan shared by every phase of every limb
     # (delta_mid has num_variables - primary rows, which can exceed M+1
     # for wide circuits like the mul chain)
-    B_max = max(M + 1, comp.num_variables - comp.primary_input_size)
+    B_max = max(domain.m + 1, comp.num_variables - comp.primary_input_size)
     nchunks, chunk = plan_chunks(B_max, phase_rows, slab)
     B_pad = nchunks * chunk
     ums = params.use_modswitch
@@ -514,7 +514,7 @@ def stream_prove_rinocchio(
     rec.add("prove", "witness_map", time.perf_counter() - t0)
 
     # ---- per-limb streamed CRS + the 10 inner products --------------------
-    B_max = max(M + 1, n_aux)
+    B_max = max(domain.m + 1, n_aux)
     nchunks, chunk = plan_chunks(B_max, phase_rows, slab)
     B_pad = nchunks * chunk
     ums = params.use_modswitch
