@@ -169,6 +169,46 @@ def _pad_rows(arr, target: int):
     return jnp.pad(arr, [(0, target - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1))
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("ctx", "n_io"))
+def _g16_crs_rings(ctx, At, Bt, Ct, Ht, Zt, alpha, beta, gamma_inv,
+                   delta_inv, n_io: int):
+    """gamma_io / delta_mid / delta_ts ring vectors as ONE program.
+
+    At Rq 2^15 shapes each operand is ~1 GiB; the eager op chain left ~7
+    temporaries to the relay's deferred deallocator and OOM'd HBM — inside
+    one jit XLA frees intermediates immediately."""
+    from ..ops.modops import mul_mod as _mm, add_mod as _am
+
+    p, mu, b = ctx.p, ctx.mu, ctx.pbits
+    combo = _am(
+        _am(_mm(At, beta, p, mu, b), _mm(Bt, alpha, p, mu, b), p), Ct, p
+    )
+    gamma_io = _mm(combo[:n_io], gamma_inv, p, mu, b)
+    delta_mid = _mm(combo[n_io:], delta_inv, p, mu, b)
+    delta_ts = _mm(_mm(Ht, Zt, p, mu, b), delta_inv, p, mu, b)
+    return gamma_io, delta_mid, delta_ts
+
+
+@_partial(jax.jit, static_argnames=("ctx", "n_io"))
+def _rin_crs_rings(ctx, At, Bt, Ct, Ht, alpha, beta, r_v, r_w, r_y,
+                   n_io: int):
+    """alpha_s_pows and the beta lincheck vector as ONE program (see
+    _g16_crs_rings)."""
+    from ..ops.modops import mul_mod as _mm, add_mod as _am
+
+    p, mu, b = ctx.p, ctx.mu, ctx.pbits
+    alpha_s_pows = _mm(Ht, alpha, p, mu, b)
+    lin = _am(
+        _am(_mm(At[n_io:], r_v, p, mu, b), _mm(Bt[n_io:], r_w, p, mu, b), p),
+        _mm(Ct[n_io:], r_y, p, mu, b), p,
+    )
+    lincheck = _mm(lin, beta, p, mu, b)
+    return alpha_s_pows, lincheck
+
+
 def stream_prove(
     comp: CompiledR1CS,
     params: SnarkParams,
@@ -216,26 +256,16 @@ def stream_prove(
         gamma = RingElem.random_invertible_element(ctx, rng)
         delta = RingElem.random_invertible_element(ctx, rng)
     qrp = r1cs_to_qrp_instance_map_with_evaluation(comp, s, domain)
-    delta_inv = delta.inverse()
-    combo = (
-        ring_batch_scale(qrp.At, beta)
-        + ring_batch_scale(qrp.Bt, alpha)
-        + qrp.Ct
-    )
-    gamma_io_ring = ring_batch_scale(
-        RingElem(ctx, combo.res[:n_io]), gamma.inverse()
-    )
     s_pows_res = qrp.Ht.res  # [M+1, L, 1]
-    delta_ts_res = ring_batch_scale(
-        ring_batch_scale(qrp.Ht, qrp.Zt), delta_inv
-    ).res
-    delta_mid_res = ring_batch_scale(
-        RingElem(ctx, combo.res[n_io:]), delta_inv
-    ).res
-    # free the full-L instance evaluation + combo now: at Rq shapes qrp's
-    # At/Bt/Ct and combo are ~0.5 GiB each and nothing below needs them
-    # (the r4 rq14 first attempt OOM'd HBM on exactly this residency)
-    del qrp, combo
+    gamma_io_res, delta_mid_res, delta_ts_res = _g16_crs_rings(
+        ctx, qrp.At.res, qrp.Bt.res, qrp.Ct.res, qrp.Ht.res, qrp.Zt.res,
+        alpha.res, beta.res, gamma.inverse().res, delta.inverse().res, n_io,
+    )
+    gamma_io_ring = RingElem(ctx, gamma_io_res)
+    # free the full-L instance evaluation now: at Rq shapes qrp's At/Bt/Ct
+    # are ~1 GiB each and nothing below needs them (the r4 rq14/rq15 first
+    # attempts OOM'd HBM on exactly this residency)
+    del qrp
     rec._sync(s_pows_res, delta_ts_res, delta_mid_res)
     rec.add("setup", "common", time.perf_counter() - t0)
 
@@ -464,17 +494,11 @@ def stream_prove_rinocchio(
     qrp = r1cs_to_qrp_instance_map_with_evaluation(comp, s, domain)
 
     s_pows_res = qrp.Ht.res  # [M+1, L, 1]
-    alpha_s_pows_res = ring_batch_scale(qrp.Ht, alpha).res
-    beta_prods_res = None
-    if use_zk:
-        aux_sl = slice(n_io, comp.num_variables + 1)
-        lincheck = ring_batch_scale(
-            ring_batch_scale(RingElem(ctx, qrp.At.res[aux_sl]), r_v)
-            + ring_batch_scale(RingElem(ctx, qrp.Bt.res[aux_sl]), r_w)
-            + ring_batch_scale(RingElem(ctx, qrp.Ct.res[aux_sl]), r_y),
-            beta,
-        )
-        beta_prods_res = lincheck.res
+    alpha_s_pows_res, lincheck_res = _rin_crs_rings(
+        ctx, qrp.At.res, qrp.Bt.res, qrp.Ct.res, qrp.Ht.res,
+        alpha.res, beta.res, r_v.res, r_w.res, r_y.res, n_io,
+    )
+    beta_prods_res = lincheck_res if use_zk else None
     beta_Zt = beta * qrp.Zt
     shift_terms = RingElem.stack(
         [beta_Zt * r_v, beta_Zt * r_w, beta_Zt * r_y]
