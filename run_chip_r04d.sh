@@ -14,3 +14,9 @@ run encprof_r04d 3600 python bench_encode_profile.py --rows 65536
 run zq18L3c      7200 python bench_prover.py --log-m 18 --L 3 --margin 4 \
                       --phased --phase-chunk 65536 --skip-cpu \
                       --out BENCH_PROVER_r04.json
+run logreg_r04b  7200 python bench_circuits.py --preset reference \
+                      --circuit logreg --streamed --slab 512 \
+                      --out BENCH_CIRCUITS_r04.json
+run rq15c        7200 python bench_prover.py --ring rq --N 8192 \
+                      --n-inner 16384 --log-m 15 --phased --phase-chunk 4096 \
+                      --slab 1024 --cpu-slabs 2 --out BENCH_PROVER_r04.json
