@@ -212,7 +212,8 @@ def r1cs_to_qrp_witness_map(
 
 
 def witness_map_kernel_chunked(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
-                               domain, slot_chunk: int = 128):
+                               domain, slot_chunk: int = 128,
+                               outputs: str = "all"):
     """_witness_map_kernel over slot-axis chunks (Rq rings).
 
     The witness map is independent per slot, but TPU codegen for the full
@@ -222,37 +223,49 @@ def witness_map_kernel_chunked(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
     Bit-identical to the unchunked kernel (slots never interact).
 
     d1r/d2r/d3r are [L, 1] broadcast constants or [L, n] per-slot vectors
-    (poly-ring ZK); per-slot vectors are sliced alongside the assignments."""
+    (poly-ring ZK); per-slot vectors are sliced alongside the assignments.
+
+    `outputs` trims what is materialized (at Rq 2^15 each full-size output
+    is ~1 GiB and the full 8-tuple plus its chunk pieces OOM'd HBM):
+      "all"    -> (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H)
+      "prover" -> (a_full, b_full, H)        [groth16 streaming]
+      "mid"    -> (a_mid, b_mid, c_mid, H)   [rinocchio streaming]
+    """
     n = z_full.shape[-1]
     for d in (d1r, d2r, d3r):
         assert d.shape[-1] in (1, n), (d.shape, n)
     if n <= slot_chunk:
         return _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
-                                   domain)
+                                   domain, outputs)
     assert n % slot_chunk == 0, (n, slot_chunk)
 
     def dsl(d, lo):
         return d if d.shape[-1] == 1 else d[..., lo:lo + slot_chunk]
 
     parts = [
-        _witness_map_kernel(
+        list(_witness_map_kernel(
             comp, z_full[..., lo:lo + slot_chunk], z_io[..., lo:lo + slot_chunk],
             z_mid[..., lo:lo + slot_chunk], dsl(d1r, lo), dsl(d2r, lo),
-            dsl(d3r, lo), domain,
-        )
+            dsl(d3r, lo), domain, outputs,
+        ))
         for lo in range(0, n, slot_chunk)
     ]
+    n_out = len(parts[0])
+    z_idx = 6 if outputs == "all" else None
     out = []
-    for i in range(8):
-        if i == 6:  # Z is a slot-independent [M+1, L, 1] constant
+    for i in range(n_out):
+        if i == z_idx:  # Z is a slot-independent [M+1, L, 1] constant
             out.append(parts[0][i])
         else:
             out.append(jnp.concatenate([p[i] for p in parts], axis=-1))
+            for p_ in parts:  # free each piece as soon as it is consumed
+                p_[i] = None
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("domain",))
-def _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r, domain):
+@partial(jax.jit, static_argnames=("domain", "outputs"))
+def _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r, domain,
+                        outputs: str = "all"):
     ctx = comp.ctx
     M = domain.m
 
@@ -308,6 +321,10 @@ def _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r, domain):
 
     a_io, b_io, c_io = coeffs["io"]
     a_mid, b_mid, c_mid = coeffs["mid"]
+    if outputs == "prover":
+        return (add_mod(a_io, a_mid, p_), add_mod(b_io, b_mid, p_), H)
+    if outputs == "mid":
+        return (a_mid, b_mid, c_mid, H)
     return (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H)
 
 

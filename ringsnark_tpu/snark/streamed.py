@@ -273,12 +273,13 @@ def stream_prove(
     t0 = time.perf_counter()
     full, io, mid = _assignment_batches(ctx, primary, auxiliary)
     zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
-    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
-        comp, full.res, io.res, mid.res, zero, zero, zero, domain
+    # "prover" mode materializes only (a_full, b_full, H) — the 8-output
+    # form plus its chunk pieces OOM'd HBM at Rq 2^15
+    (a_full, b_full, H) = witness_map_kernel_chunked(
+        comp, full.res, io.res, mid.res, zero, zero, zero, domain,
+        outputs="prover",
     )
-    a_full = add_mod(a_io, a_mid, ctx.p)
-    b_full = add_mod(b_io, b_mid, ctx.p)
-    del a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, full, io, mid
+    del full, io, mid
     if isinstance(auxiliary, RingElem):
         aux_res = auxiliary.res
     else:
@@ -516,8 +517,9 @@ def stream_prove_rinocchio(
     else:
         d1 = d2 = d3 = RingElem.zero(ctx)
     full, io, mid = _assignment_batches(ctx, primary, auxiliary)
-    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
-        comp, full.res, io.res, mid.res, d1.res, d2.res, d3.res, domain
+    (a_mid, b_mid, c_mid, H) = witness_map_kernel_chunked(
+        comp, full.res, io.res, mid.res, d1.res, d2.res, d3.res, domain,
+        outputs="mid",
     )
     if use_zk:
         a_vec = _shifted_rows(a_mid, d1.res, ctx)
@@ -525,7 +527,7 @@ def stream_prove_rinocchio(
         c_vec = _shifted_rows(c_mid, d3.res, ctx)
     else:
         a_vec, b_vec, c_vec = a_mid, b_mid, c_mid
-    del a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, full, io, mid
+    del a_mid, b_mid, c_mid, full, io, mid
     if isinstance(auxiliary, RingElem):
         aux_res = auxiliary.res
     else:
