@@ -301,6 +301,16 @@ def stream_prove(
     ums = params.use_modswitch
     max_level = max(ectx.L_inner - ectx.floor_limbs, 0) if ums else 0
 
+    # pad once, REPLACING the originals (keeping both doubled the Rq-scale
+    # residency and OOM'd HBM at 2^15)
+    a_full = _pad_rows(a_full, B_pad)
+    b_full = _pad_rows(b_full, B_pad)
+    H = _pad_rows(H, B_pad)
+    aux_res = _pad_rows(aux_res, B_pad)
+    s_pows_res = _pad_rows(s_pows_res, B_pad)
+    delta_ts_res = _pad_rows(delta_ts_res, B_pad)
+    delta_mid_res = _pad_rows(delta_mid_res, B_pad)
+
     limb_proofs = []  # (A, B, C) per limb, Encoding over the 1-limb ctx
     gamma_io_parts = []
     for l in range(L):
@@ -331,20 +341,20 @@ def stream_prove(
         # the three streaming phases: (name, CRS ring rows, pts, key)
         phases = [
             ("s_pows", s_pows_res,
-             [limb_slice(ctx_l, _pad_rows(a_full, B_pad), l),
-              limb_slice(ctx_l, _pad_rows(b_full, B_pad), l)], keys[3]),
+             [limb_slice(ctx_l, a_full, l),
+              limb_slice(ctx_l, b_full, l)], keys[3]),
             ("delta_ts", delta_ts_res,
-             [limb_slice(ctx_l, _pad_rows(H, B_pad), l)], keys[4]),
+             [limb_slice(ctx_l, H, l)], keys[4]),
         ]
-        if aux_res.shape[0] > 0:
+        if comp.num_variables - comp.primary_input_size > 0:
             phases.append(
                 ("delta_mid", delta_mid_res,
-                 [limb_slice(ctx_l, _pad_rows(aux_res, B_pad), l)], keys[5])
+                 [limb_slice(ctx_l, aux_res, l)], keys[5])
             )
 
         partials: dict[str, list] = {}
         for name, ring_res, pts, enc_key in phases:
-            rows_l = limb_slice(ctx_l, _pad_rows(ring_res, B_pad), l)
+            rows_l = limb_slice(ctx_l, ring_res, l)
             accs = None
             for ci in range(nchunks):
                 lo = ci * chunk
@@ -546,6 +556,17 @@ def stream_prove_rinocchio(
     ums = params.use_modswitch
     max_level = max(ectx.L_inner - ectx.floor_limbs, 0) if ums else 0
 
+    # pad once, replacing the originals (see stream_prove)
+    a_vec = _pad_rows(a_vec, B_pad)
+    b_vec = _pad_rows(b_vec, B_pad)
+    c_vec = _pad_rows(c_vec, B_pad)
+    H = _pad_rows(H, B_pad)
+    aux_res = _pad_rows(aux_res, B_pad)
+    s_pows_res = _pad_rows(s_pows_res, B_pad)
+    alpha_s_pows_res = _pad_rows(alpha_s_pows_res, B_pad)
+    if beta_prods_res is not None:
+        beta_prods_res = _pad_rows(beta_prods_res, B_pad)
+
     limb_elems: list[list[Encoding]] = []  # 9 proof elements per limb (+F)
     for l in range(L):
         params_l = limb_params(params, l)
@@ -562,8 +583,7 @@ def stream_prove_rinocchio(
         rec.add("setup", f"limb{l}:small", time.perf_counter() - t0)
 
         main_pts = [
-            limb_slice(ctx_l, _pad_rows(v, B_pad), l)
-            for v in (a_vec, b_vec, c_vec, H)
+            limb_slice(ctx_l, v, l) for v in (a_vec, b_vec, c_vec, H)
         ]
         phases = [
             ("s_pows", s_pows_res, main_pts, keys[1]),
@@ -572,12 +592,12 @@ def stream_prove_rinocchio(
         if use_zk:
             phases.append(
                 ("beta_prods", beta_prods_res,
-                 [limb_slice(ctx_l, _pad_rows(aux_res, B_pad), l)], keys[3])
+                 [limb_slice(ctx_l, aux_res, l)], keys[3])
             )
 
         partials: dict[str, list] = {}
         for name, ring_res, pts, enc_key in phases:
-            rows_l = limb_slice(ctx_l, _pad_rows(ring_res, B_pad), l)
+            rows_l = limb_slice(ctx_l, ring_res, l)
             accs = None
             for ci in range(nchunks):
                 lo = ci * chunk
