@@ -110,6 +110,20 @@ def limb_slice(ctx_l: RingContext, res, l: int):
     return res[..., l : l + 1, :]
 
 
+def limb_compiled(comp: CompiledR1CS, l: int) -> CompiledR1CS:
+    """Limb-l view of a compiled R1CS (coefficients limb-sliced)."""
+    ctx_l = limb_ring(comp.ctx, l)
+    return CompiledR1CS(
+        ctx=ctx_l,
+        num_constraints=comp.num_constraints,
+        num_variables=comp.num_variables,
+        primary_input_size=comp.primary_input_size,
+        rows=comp.rows,
+        cols=comp.cols,
+        coeffs=tuple(limb_slice(ctx_l, c, l) for c in comp.coeffs),
+    )
+
+
 # ---------------------------------------------------------------------------
 # chunk planning
 # ---------------------------------------------------------------------------
@@ -237,6 +251,88 @@ def stream_prove(
     L = ctx.L
     M = max(comp.num_constraints, 1)
     n_io = comp.primary_input_size + 1
+
+    if L > 1 and ctx.N > 1:
+        # fully limb-local streaming for dense multi-limb rings: recurse per
+        # limb with the sliced compiled system and injected trapdoor/sk, so
+        # the GB-scale witness/CRS vectors only ever exist at one limb
+        # (every table and kernel is limb-diagonal; the per-limb
+        # RootsDomain's tables equal the limb slice of the full-L domain's
+        # because roots are derived per prime — exactness is asserted by the
+        # decode-equality tests).  Halves the L=2 persistent set that OOM'd
+        # the r4 rq14-L2 attempt.
+        t0 = time.perf_counter()
+        domain = RootsDomain(ctx, M)
+        if trapdoor is None:
+            s = RingElem.random_exceptional_element(ctx, rng, domain)
+        else:
+            s, alpha, beta, gamma, delta = trapdoor
+        if sk_enc is None:
+            _, sk_enc = keygen(ectx, rng)
+        if trapdoor is None:
+            alpha = RingElem.random_invertible_element(ctx, rng)
+            beta = RingElem.random_invertible_element(ctx, rng)
+            gamma = RingElem.random_invertible_element(ctx, rng)
+            delta = RingElem.random_invertible_element(ctx, rng)
+        rec.add("setup", "common", time.perf_counter() - t0)
+
+        def as_batch(x, n_rows_attr):
+            if isinstance(x, RingElem):
+                return x
+            return (RingElem.stack(list(x)) if x
+                    else RingElem(ctx, jnp.zeros((0, ctx.L, 1),
+                                                 dtype=jnp.uint32)))
+
+        primary_b = as_batch(primary, "p")
+        aux_b = as_batch(auxiliary, "a")
+        elems = []
+        gio = []
+        for l in range(L):
+            comp_l = limb_compiled(comp, l)
+            params_l = limb_params(params, l)
+            ctx_l = params_l.ring
+            td_l = tuple(
+                RingElem(ctx_l, limb_slice(ctx_l, x.res, l))
+                for x in (s, alpha, beta, gamma, delta)
+            )
+            proof_l, vk_l, rec = stream_prove(
+                comp_l, params_l,
+                RingElem(ctx_l, limb_slice(ctx_l, primary_b.res, l)),
+                RingElem(ctx_l, limb_slice(ctx_l, aux_b.res, l)),
+                rng, jax.random.fold_in(key, 1000 + l),
+                slab=slab, phase_rows=phase_rows, record=rec,
+                trapdoor=td_l,
+                sk_enc=limb_secret_key(params_l.enc, sk_enc, l),
+            )
+            elems.append(proof_l)
+            gio.append(vk_l.pk.gamma_io)
+            del proof_l, vk_l
+
+        def catP(idx):
+            encs = [getattr(p, idx) for p in elems]
+            lvl = encs[0].level
+            return Encoding(
+                ectx,
+                jnp.concatenate([e.c0 for e in encs], axis=0),
+                jnp.concatenate([e.c1 for e in encs], axis=0),
+                lvl,
+            )
+
+        proof = Proof(A=catP("A"), B=catP("B"), C=catP("C"))
+        gamma_io = Encoding(
+            ectx,
+            jnp.concatenate([g.c0 for g in gio], axis=1),
+            jnp.concatenate([g.c1 for g in gio], axis=1),
+            0,
+        )
+        pk = sd.SeededProvingKey(
+            compiled=comp, domain=domain, params=params, alpha=None,
+            beta=None, s_pows=None, gamma_io=gamma_io, delta_mid=None,
+            delta_ts=None,
+        )
+        vk = VerificationKey(pk=pk, s=s, alpha=alpha, beta=beta, gamma=gamma,
+                             delta=delta, sk_enc=sk_enc)
+        return proof, vk, rec
 
     # ---- common setup (full L): trapdoor, QRP instance eval, plain CRS ----
     t0 = time.perf_counter()
