@@ -58,10 +58,15 @@ def main():
                     help="limb-phased streamed prover (any L on one chip)")
     ap.add_argument("--phase-chunk", type=int, default=1 << 16,
                     help="phased mode: target CRS rows resident at a time")
-    ap.add_argument("--passes", type=int, default=2,
-                    help="phased mode: full setup+prove passes (pass 1 cold "
-                         "incl. compile, last pass fully warm)")
-    ap.add_argument("--prng", choices=["threefry2x32", "rbg"], default="rbg")
+    ap.add_argument("--passes", type=int, default=3,
+                    help="phased mode: pass 0 cold (compile), pass 1 warm "
+                         "un-profiled (combined wall = headline), pass 2 "
+                         "warm profiled (setup/prove split, sync-inflated)")
+    ap.add_argument("--prng", choices=["threefry2x32", "rbg"],
+                    default="threefry2x32",
+                    help="threefry: an rbg key's RngBitGenerator inside the "
+                         "MAC scan stalls ~360 ms/chunk (r5 measured, "
+                         "chip_logs/probe_mac_r05.log)")
     ap.add_argument("--margin", type=int, default=10,
                     help="noise planner margin bits (worst-case headroom; "
                          "6 fits 2^16 and 4 fits 2^18 in L'=3 at N'=4096 — "
@@ -69,6 +74,11 @@ def main():
     ap.add_argument("--cpu-slabs", type=int, default=4,
                     help="slabs to sample for the native CPU baseline")
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument("--cpu-full", action="store_true",
+                    help="run the MEASURED full same-algorithm CPU prover "
+                         "(native/cpu_prover.py: witness-map NTTs + every "
+                         "MAC, OpenMP) instead of extrapolating — groth16 "
+                         "only; ~minutes at 2^14, ~10 min at zq 2^18")
     ap.add_argument("--skip-warm-setup", action="store_true",
                     help="unphased: skip the second setup run")
     ap.add_argument("--cpu", action="store_true",
@@ -198,13 +208,21 @@ def main():
             proof_bits=proof.size_in_bits(), pk_c0_bits=pk_bits,
         )
     else:
-        # ---- phased: limb-phased streamed prover, N full passes ------------
+        # ---- phased: limb-phased streamed prover ---------------------------
+        # pass 0: cold (compile); pass 1: warm UN-profiled — the honest
+        # combined setup+prove wall (CRS encode and MACs interleave; one
+        # sync per phase); pass 2: warm PROFILED — per-chunk syncs restore
+        # the r4-style setup/prove attribution.  The profiled split is an
+        # upper bound on each side (each sync is a ~30-45 ms relay round
+        # trip; n_profile_syncs is recorded so the inflation is bounded).
         proof = vk = None
-        for p_i in range(max(1, args.passes)):
+        warm_rec = prof_rec = None
+        for p_i in range(max(2, args.passes)):
             if proof is not None:
                 del proof, vk
                 time.sleep(10)  # relay frees are async
-            rec = st.StreamRecord(sync=True)
+            profile = p_i >= 2
+            rec = st.StreamRecord(sync=True, profile=profile)
             t0 = time.perf_counter()
             stream_fn = (
                 st.stream_prove if args.system == "groth16"
@@ -217,31 +235,55 @@ def main():
             )
             wall = time.perf_counter() - t0
             setup_p, prove_p = rec.total("setup"), rec.total("prove")
-            print(f"[pass {p_i}] setup {setup_p:.2f}s prove {prove_p:.2f}s "
-                  f"(wall {wall:.1f}s)", file=sys.stderr, flush=True)
+            stream_p = rec.total("stream")
+            print(f"[pass {p_i}{' prof' if profile else ''}] "
+                  f"setup {setup_p:.2f}s stream {stream_p:.2f}s "
+                  f"prove {prove_p:.2f}s (wall {wall:.1f}s)",
+                  file=sys.stderr, flush=True)
             if p_i == 0:
-                result.update(setup_cold_s=round(setup_p, 2),
-                              prove_cold_s=round(prove_p, 2))
-            # per-section breakdown of the final (warm) pass
-            last_rec = rec
-        for kind in ("setup", "prove"):
+                result["combined_cold_s"] = round(wall, 2)
+            elif not profile:
+                warm_rec, warm_wall = rec, wall
+            else:
+                prof_rec = rec
+
+        def agg_kind(rec_, kind):
             agg = {}
-            for k, name, dt in last_rec.events:
+            for k, name, dt in rec_.events:
                 if k != kind:
                     continue
                 base = name.split("+")[0]
                 agg[base] = agg.get(base, 0.0) + dt
-            result[f"{kind}_breakdown"] = {k: round(v, 2) for k, v in agg.items()}
-            print(f"[{kind} breakdown] " + " ".join(
-                f"{k}={v:.2f}s" for k, v in result[f"{kind}_breakdown"].items()
-            ), file=sys.stderr, flush=True)
-        wmap = result["prove_breakdown"].get("witness_map", 0.0)
-        result.update(
-            value=round(last_rec.total("prove"), 4),
-            setup_s=round(last_rec.total("setup"), 2),
-            proof_bits=proof.size_in_bits(),
-            witness_map_s=round(wmap, 3),
-        )
+            return {k: round(v, 2) for k, v in agg.items()}
+
+        combined = (warm_rec.total("setup") + warm_rec.total("stream")
+                    + warm_rec.total("prove"))
+        result["combined_s"] = round(combined, 2)
+        result["stream_s"] = round(warm_rec.total("stream"), 2)
+        result["stream_breakdown"] = agg_kind(warm_rec, "stream")
+        print(f"[warm] combined setup+prove {combined:.2f}s; stream "
+              + " ".join(f"{k}={v:.2f}s"
+                         for k, v in result["stream_breakdown"].items()),
+              file=sys.stderr, flush=True)
+        if prof_rec is not None:
+            for kind in ("setup", "prove"):
+                result[f"{kind}_breakdown"] = agg_kind(prof_rec, kind)
+                print(f"[{kind} breakdown, profiled] " + " ".join(
+                    f"{k}={v:.2f}s"
+                    for k, v in result[f"{kind}_breakdown"].items()
+                ), file=sys.stderr, flush=True)
+            n_syncs = sum(1 for k, _, _ in prof_rec.events
+                          if k in ("setup", "prove"))
+            wmap = result["prove_breakdown"].get("witness_map", 0.0)
+            result.update(
+                value=round(prof_rec.total("prove"), 4),
+                setup_s=round(prof_rec.total("setup"), 2),
+                witness_map_s=round(wmap, 3),
+                n_profile_syncs=n_syncs,
+            )
+        else:
+            result["value"] = round(combined, 4)
+        result["proof_bits"] = proof.size_in_bits()
 
     # ---- verify (shared): processed vk, then warm online verifies ---------
     from ringsnark_tpu.snark import rinocchio as rn
@@ -327,6 +369,29 @@ def main():
             result["cpu_mac_s"] = round(cpu_mac_s, 2)
             result["cpu_threads"] = native.max_threads()
             result["vs_baseline"] = round(cpu_mac_s / result["value"], 2)
+
+    if args.cpu_full and args.system == "groth16":
+        from ringsnark_tpu.native.cpu_prover import groth16_prover_cpu
+        from ringsnark_tpu.reductions.r1cs_to_qrp import _assignment_batches
+
+        full_b, _, _ = _assignment_batches(ring, primary, aux)
+        z_np = np.asarray(full_b.res)
+        aux_np = np.asarray(aux.res if hasattr(aux, "res") else aux)
+        del full_b
+        timings, _ = groth16_prover_cpu(
+            comp, ectx, z_np, aux_np, np.random.default_rng(11)
+        )
+        print(f"[cpu-full] measured full CPU prover "
+              f"({timings['threads']} threads): witness map "
+              f"{timings['witness_map_s']:.1f}s + MACs "
+              f"{timings['mac_s']:.1f}s = {timings['total_s']:.1f}s",
+              file=sys.stderr, flush=True)
+        result["cpu_prover_s"] = timings["total_s"]
+        result["cpu_prover_wm_s"] = timings["witness_map_s"]
+        result["cpu_prover_threads"] = timings["threads"]
+        result["vs_cpu_prover"] = round(
+            timings["total_s"] / result["value"], 2
+        )
 
     print(json.dumps(result), flush=True)
     if args.out:

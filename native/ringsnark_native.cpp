@@ -199,4 +199,98 @@ void rn_ip_accumulate(const u32* ct, const u32* pt, u32* acc, u64 batch,
   }
 }
 
+// scalar-plaintext MAC (Z_q rings): acc[j] += sum_b ct[b][j] * w[b]
+// — the reference's multiply_plain-by-constant accumulate
+// (`seal_int/seal_ring.tcc:129-201`).
+void rn_ip_accumulate_scalar(const u32* ct, const u32* w, u32* acc, u64 batch,
+                             u64 n, u32 p) {
+#pragma omp parallel for schedule(static)
+  for (u64 j = 0; j < n; j++) {
+    u128 s = acc[j];
+    for (u64 b = 0; b < batch; b++) {
+      s += (u64)ct[b * n + j] * w[b];
+    }
+    acc[j] = (u32)(s % p);
+  }
+}
+
+// centered lift of values mod t into limb modulus Q (plaintext operand prep)
+void rn_lift_rows(const u32* v, u32* out, u64 n, u32 t, u32 Q) {
+#pragma omp parallel for schedule(static)
+  for (u64 i = 0; i < n; i++) {
+    u32 x = v[i];
+    u64 y = x > (t >> 1) ? (u64)x + Q - t : (u64)x;
+    if (y >= Q) y -= Q;
+    out[i] = (u32)y;
+  }
+}
+
+// ---- full groth16 witness map (prover mode), one outer limb ---------------
+// Same algorithm as reductions/r1cs_to_qrp._witness_map_kernel with
+// outputs="prover": COO scatter of the constraint evaluations, size-M
+// inverse NTT interpolation over the roots domain, H = upper half of the
+// size-2M NTT convolution of A and B (C's degree < M never reaches the
+// quotient; d1=d2=d3=0 — groth16.tcc:76-84).  Bit-exact vs the JAX kernel
+// when given the same roots w (order M) and w2 (order 2M).
+// slot-batched over S independent slots (a dense ring element is S slot
+// values; the Z_q case is S = 1).  z: [nvars+1][S]; coeffs: [nnz] (scalar,
+// co_slots == 1, broadcast over slots) or [nnz][S]; outputs [M or M+1][S].
+void rn_g16_witness_map(const int32_t* rowsA, const int32_t* colsA,
+                        const u32* coA, u64 nnzA, u32 coA_slots,
+                        const int32_t* rowsB, const int32_t* colsB,
+                        const u32* coB, u64 nnzB, u32 coB_slots,
+                        const u32* z, u32 S, u32 M, u32 p, u32 w, u32 w2,
+                        u32* a_full, u32* b_full, u32* Hout) {
+  NttTables t, t2;
+  make_tables(t, p, M, w, 0);
+  make_tables(t2, p, 2 * M, w2, 0);
+
+#pragma omp parallel
+  {
+    std::vector<u32> ev(M), af(2 * M), bf(2 * M);
+#pragma omp for schedule(static)
+    for (u64 s = 0; s < S; s++) {
+      // A-side: scatter evals, interpolate (inverse NTT; domain-order
+      // evals carry the bit-reversed labeling)
+      std::memset(ev.data(), 0, M * sizeof(u32));
+      for (u64 k = 0; k < nnzA; k++) {
+        u32 c = coA[coA_slots == 1 ? k : k * coA_slots + s];
+        u32 v = (u32)((u64)c * z[(u64)colsA[k] * S + s] % p);
+        ev[rowsA[k]] = addmod(ev[rowsA[k]], v, p);
+      }
+      dit_inverse(ev.data(), t);
+      for (u32 i = 0; i < M; i++) {
+        u32 c = mulmod(ev[i], t.minv, p);
+        a_full[(u64)i * S + s] = c;
+        af[i] = c;
+      }
+      std::memset(af.data() + M, 0, M * sizeof(u32));
+
+      // B-side
+      std::memset(ev.data(), 0, M * sizeof(u32));
+      for (u64 k = 0; k < nnzB; k++) {
+        u32 c = coB[coB_slots == 1 ? k : k * coB_slots + s];
+        u32 v = (u32)((u64)c * z[(u64)colsB[k] * S + s] % p);
+        ev[rowsB[k]] = addmod(ev[rowsB[k]], v, p);
+      }
+      dit_inverse(ev.data(), t);
+      for (u32 i = 0; i < M; i++) {
+        u32 c = mulmod(ev[i], t.minv, p);
+        b_full[(u64)i * S + s] = c;
+        bf[i] = c;
+      }
+      std::memset(bf.data() + M, 0, M * sizeof(u32));
+
+      // H = coeffs(A*B)[M..2M-1] via size-2M cyclic NTTs
+      dif_forward(af.data(), t2);
+      dif_forward(bf.data(), t2);
+      for (u64 i = 0; i < 2 * (u64)M; i++) af[i] = mulmod(af[i], bf[i], p);
+      dit_inverse(af.data(), t2);
+      for (u32 i = 0; i < M; i++)
+        Hout[(u64)i * S + s] = mulmod(af[M + i], t2.minv, p);
+      Hout[(u64)M * S + s] = 0;  // + d1*d2*X^M with d = 0
+    }
+  }
+}
+
 }  // extern "C"

@@ -112,14 +112,22 @@ def _sample_error_ntt(ctx: EncodingContext, key, batch_shape):
     CBD is two popcounts per coefficient.  |e| <= k << Q_j, so the
     per-limb residue is a conditional add."""
     k = _cbd_k(ctx.error_stddev)
-    assert k <= 32, "CBD mask must fit one uint32 draw per side"
-    mask = jnp.uint32((1 << k) - 1)
+    # k > 32 (sigma > 4) draws multiple uint32 words per side; the last
+    # word is masked to the remaining k mod 32 bits
+    n_words = -(-k // 32)
     shape = (*batch_shape, ctx.L, ctx.n_inner)
-    u = jax.random.bits(key, (2, *shape), dtype=jnp.uint32)
-    e = (
-        jax.lax.population_count(u[0] & mask).astype(jnp.int32)
-        - jax.lax.population_count(u[1] & mask).astype(jnp.int32)
+    u = jax.random.bits(key, (2, n_words, *shape), dtype=jnp.uint32)
+    last_mask = jnp.uint32((1 << (k - 32 * (n_words - 1))) - 1)
+    masks = jnp.concatenate(
+        [
+            jnp.full((n_words - 1,), 0xFFFFFFFF, dtype=jnp.uint32),
+            last_mask[None],
+        ]
+    ).reshape(n_words, *([1] * len(shape)))
+    pops = jnp.sum(
+        jax.lax.population_count(u & masks).astype(jnp.int32), axis=1
     )
+    e = pops[0] - pops[1]
     Q = jnp.asarray(ctx.Q_np.astype(np.int32))[:, None]  # [L', 1]
     e_ = e[..., :, None, :]  # [*, L, 1, N'] — broadcasts against Q [L', 1]
     res = jnp.where(e_ < 0, e_ + Q, e_).astype(jnp.uint32)

@@ -25,6 +25,9 @@ __all__ = [
     "cyclic_ntt",
     "cyclic_intt",
     "ip_accumulate",
+    "ip_accumulate_scalar",
+    "lift_rows",
+    "g16_witness_map",
 ]
 
 _NATIVE_DIR = os.path.join(
@@ -60,6 +63,15 @@ def _lib():
     lib.rn_cyclic_ntt.argtypes = [pu32, u64, u32, u32, u32]
     lib.rn_cyclic_intt.argtypes = [pu32, u64, u32, u32, u32]
     lib.rn_ip_accumulate.argtypes = [pu32, pu32, pu32, u64, u64, u32]
+    lib.rn_ip_accumulate_scalar.argtypes = [pu32, pu32, pu32, u64, u64, u32]
+    lib.rn_lift_rows.argtypes = [pu32, pu32, u64, u32, u32]
+    pi32 = ctypes.POINTER(ctypes.c_int32)
+    lib.rn_g16_witness_map.argtypes = [
+        pi32, pi32, pu32, u64, u32,  # A matrix COO (+ coeff slot count)
+        pi32, pi32, pu32, u64, u32,  # B matrix COO
+        pu32, u32, u32, u32, u32, u32,  # z, S, M, p, w, w2
+        pu32, pu32, pu32,  # a_full, b_full, H
+    ]
     lib.rn_set_threads.argtypes = [ctypes.c_int]
     lib.rn_get_max_threads.restype = ctypes.c_int
     return lib
@@ -128,3 +140,63 @@ def ip_accumulate(ct: np.ndarray, pt: np.ndarray, p: int) -> np.ndarray:
     acc = np.zeros(n, dtype=np.uint32)
     _lib().rn_ip_accumulate(_ptr(ct), _ptr(pt), _ptr(acc), batch, n, p)
     return acc.reshape(ct.shape[1:])
+
+
+def ip_accumulate_scalar(ct: np.ndarray, w: np.ndarray, p: int) -> np.ndarray:
+    """sum_b ct[b] * w[b] (scalar weight per row), one limb."""
+    ct = np.ascontiguousarray(ct, dtype=np.uint32)
+    w = np.ascontiguousarray(w, dtype=np.uint32)
+    batch, n = ct.shape[0], ct.size // ct.shape[0]
+    assert w.shape == (batch,)
+    acc = np.zeros(n, dtype=np.uint32)
+    _lib().rn_ip_accumulate_scalar(_ptr(ct), _ptr(w), _ptr(acc), batch, n, p)
+    return acc.reshape(ct.shape[1:])
+
+
+def lift_rows(v: np.ndarray, t: int, Q: int) -> np.ndarray:
+    """Centered lift of values mod t into limb modulus Q."""
+    v = np.ascontiguousarray(v, dtype=np.uint32)
+    out = np.empty_like(v)
+    _lib().rn_lift_rows(_ptr(v), _ptr(out), v.size, t, Q)
+    return out
+
+
+def g16_witness_map(coo_a, coo_b, z: np.ndarray, M: int, p: int, w: int,
+                    w2: int):
+    """Full groth16 prover-mode witness map, one outer limb.
+
+    coo_a/coo_b: (rows int32[nnz], cols int32[nnz], coeffs uint32[nnz] or
+    uint32[nnz, S] per-slot); z: uint32[num_vars+1, S] full assignment
+    (S = 1 for Z_q).  Returns (a_full[M, S], b_full[M, S], H[M+1, S])
+    coefficient vectors — bit-exact vs the JAX kernel (same roots w, w2).
+    """
+    import ctypes as ct_
+
+    def pi(a):
+        return a.ctypes.data_as(ct_.POINTER(ct_.c_int32))
+
+    z = np.ascontiguousarray(z, dtype=np.uint32)
+    if z.ndim == 1:
+        z = z[:, None]
+    S = z.shape[1]
+
+    def prep(coo):
+        r, c, v = coo
+        r = np.ascontiguousarray(r, np.int32)
+        c = np.ascontiguousarray(c, np.int32)
+        v = np.ascontiguousarray(v, np.uint32)
+        slots = 1 if v.ndim == 1 else v.shape[1]
+        assert slots in (1, S), (slots, S)
+        return r, c, v, slots
+
+    ra, ca, va, sa = prep(coo_a)
+    rb, cb, vb, sb = prep(coo_b)
+    a_full = np.zeros((M, S), dtype=np.uint32)
+    b_full = np.zeros((M, S), dtype=np.uint32)
+    H = np.zeros((M + 1, S), dtype=np.uint32)
+    _lib().rn_g16_witness_map(
+        pi(ra), pi(ca), _ptr(va), len(ra), sa,
+        pi(rb), pi(cb), _ptr(vb), len(rb), sb,
+        _ptr(z), S, M, p, w, w2, _ptr(a_full), _ptr(b_full), _ptr(H),
+    )
+    return a_full, b_full, H

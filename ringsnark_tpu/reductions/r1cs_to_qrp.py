@@ -38,6 +38,7 @@ from ..utils.domain import RootsDomain, get_evaluation_domain
 __all__ = [
     "r1cs_to_qrp_instance_map",
     "r1cs_to_qrp_instance_map_with_evaluation",
+    "eval_instance_arrays",
     "r1cs_to_qrp_witness_map",
     "r1cs_to_qrp_witness_map_generic",
     "mod_powers_device",
@@ -97,8 +98,14 @@ def r1cs_to_qrp_instance_map_with_evaluation(
     )
 
 
-@partial(jax.jit, static_argnames=("domain",))
-def _instance_eval_kernel(comp, t_res, domain):
+def eval_instance_arrays(comp, t_res, domain):
+    """(At, Bt, Ct, Zt) arrays at t — the SpMV part of the instance map.
+
+    Not jitted itself: composes into larger jitted programs (the streamed
+    provers fuse it with the CRS ring algebra so At/Bt/Ct stay XLA
+    temporaries and Ht is never materialized — its rows are regenerated
+    per chunk from s instead).
+    """
     ctx = comp.ctx
     t = RingElem(ctx, t_res)
     u = domain.evaluate_all_lagrange_polynomials(t).res  # [M, L, 1]
@@ -113,8 +120,15 @@ def _instance_eval_kernel(comp, t_res, domain):
         )
         outs.append(barrett_reduce_u64(acc, ctx.p, ctx.mu, ctx.pbits))
     At, Bt, Ct = outs
+    return At, Bt, Ct, Zt.res
+
+
+@partial(jax.jit, static_argnames=("domain",))
+def _instance_eval_kernel(comp, t_res, domain):
+    ctx = comp.ctx
+    At, Bt, Ct, Zt = eval_instance_arrays(comp, t_res, domain)
     Ht = mod_powers_device(t_res, domain.m + 1, ctx)
-    return At, Bt, Ct, Ht, Zt.res
+    return At, Bt, Ct, Ht, Zt
 
 
 # ---------------------------------------------------------------------------

@@ -173,7 +173,6 @@ def prover(
     which crashed the remote compiler at dense reference shapes."""
     import jax.numpy as jnp
 
-    from ..ops.modops import add_mod
     from ..reductions.r1cs_to_qrp import (
         _assignment_batches,
         witness_map_kernel_chunked,
@@ -185,11 +184,13 @@ def prover(
     ums = pk.params.use_modswitch
     full, io, mid = _assignment_batches(ctx, primary_input, auxiliary_input)
     zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
-    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
-        pk.compiled, full.res, io.res, mid.res, zero, zero, zero, pk.domain
+    # "prover" mode materializes only the 3 arrays this prover consumes
+    # (the 8-output form held c_io/c_mid/Z for nothing — at Rq scale that
+    # peak residency is the difference between fitting HBM or not)
+    (a_full, b_full, H) = witness_map_kernel_chunked(
+        pk.compiled, full.res, io.res, mid.res, zero, zero, zero, pk.domain,
+        outputs="prover",
     )
-    a_full = add_mod(a_io, a_mid, ctx.p)
-    b_full = add_mod(b_io, b_mid, ctx.p)
     crs = {
         "s_pows": (pk.s_pows.c0, pk.s_pows.c1),
         "delta_ts": (pk.delta_ts.c0, pk.delta_ts.c1),

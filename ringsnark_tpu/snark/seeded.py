@@ -23,8 +23,12 @@ the reference's in-RAM `vector<EncT>` CRS.
 PRNG convention: slab i of an encoding batch draws its randomness from
 `fold_in(key, i)`, split exactly as `bgv._encrypt_kernel` splits — so c1 of
 slab i is `_sample_uniform(ctx, split(fold_in(key, i))[0], (slab,))`.  Any
-typed key impl works; benches pass `jax.random.key(seed, impl='rbg')` on TPU
-where threefry regen would dominate the MAC.
+typed key impl works; benches pass `jax.random.key(seed,
+impl='threefry2x32')`: measured r5 on chip (chip_logs/probe_mac_r05.log,
+65536-row chunk, L'=3, N'=4096), an rbg key's RngBitGenerator op inside the
+MAC scan body costs ~360 ms of stall per chunk that threefry does not
+(2-pt MAC: 104 ms threefry vs 453 ms rbg; same encode speed) — the r3 note
+that "threefry regen would dominate the MAC" had it exactly backwards.
 """
 
 from __future__ import annotations
@@ -389,7 +393,11 @@ def seeded_inner_product(
     mode = _mac_mode()
     scalar = all(p.shape[-1] == 1 for p in pts_pad) and ctx.ring.N == 1
     if mode == "auto":
-        mode = "mxu" if (scalar and senc.slab <= 8192) else "u64"
+        # r5 re-measure under threefry keys: u64 beats the byte-product MXU
+        # path at the flagship chunk shape (104 vs 147 ms 2-pt; the r3 "tie"
+        # was both modes hiding behind the rbg-in-scan stall).  mxu stays
+        # selectable for experiments.
+        mode = "u64"
     if mode == "u64" and not scalar and ctx.ring.N > 1:
         # dense (poly-ring) plaintexts: hoist the per-term NTTs out of the
         # scan, slab-chunked so the transform stays on the Pallas kernel

@@ -9,17 +9,33 @@ chip set):
   prover (they only meet at decode/CRT, `DESIGN.md` §5), so an L-limb
   proof is exactly L independent single-limb proofs whose ciphertexts
   concatenate along the limb axis.  Each limb pass reuses the SAME
-  compiled L=1 kernels, so L=2 costs ~2x the L=1 wall clock — not the
-  24x the r3 full-L phased path measured (its L=2 shapes recompiled
-  everything and the tail chunks recompiled again).
+  compiled L=1 kernels, so L=2 costs ~2x the L=1 wall clock.
 * **row chunking** — within one limb, each CRS phase (s_pows /
   delta_ts / delta_mid) is generated and consumed in fixed-shape row
   blocks; partial inner products accumulate at level 0 and the
   modswitch chain runs once on the final sums, so the result is
   bit-identical to the unchunked schedule.  All chunks of all phases
-  share ONE static shape (padded rows are encryptions of 0 paired with
-  zero coefficients — exact no-ops), so the whole streamed prover
-  compiles 1 encode kernel + 2 MAC kernels total.
+  share ONE static shape, so the whole streamed prover compiles 1 encode
+  kernel + 2 MAC kernels total.
+
+Round-5 restructure (measured drivers in chip_logs/probe_*_r05.log):
+
+* **chunk-regenerated CRS rings** — the s_pows / delta_ts (groth16) and
+  s_pows / alpha_s_pows (rinocchio) ring vectors are pure functions of
+  the trapdoor s: row i is s^i times a fixed scale.  They are never
+  materialized at (M+1) rows; each chunk's rows are generated on device
+  as `spow_table * carry` with `carry *= s^chunk` between chunks
+  (exact: modular products are associative, so the residues equal the
+  doubling-ladder values the r4 path produced).  This removes 2 of the
+  ~7 full-size vectors from residency — the lever for Rq past 2^14.
+* **per-phase syncs** — r4 synced twice per chunk (72 relay round trips
+  at zq18 L=3, ~30-45 ms each).  The phase loop now dispatches all
+  chunks asynchronously with a bounded lookahead (a throttling sync
+  every `throttle` chunks keeps at most ~throttle+1 chunk buffers
+  in flight — dispatch-time allocation would otherwise queue a whole
+  phase of c0 chunks in HBM) and records ONE "stream" section per
+  phase.  `StreamRecord(profile=True)` restores the r4 per-chunk
+  setup/prove attribution (at its sync cost) for breakdowns.
 
 Mirrors the CRS/proof semantics of `/root/reference/ringsnark/
 zk_proof_systems/groth16/groth16.tcc:5-115`; the reference holds the
@@ -30,6 +46,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import partial as _partial
 from typing import Any, Optional
 
 import numpy as np
@@ -38,9 +55,10 @@ import jax.numpy as jnp
 
 from ..encoding import Encoding, encode, keygen
 from ..encoding.context import EncodingContext, SecretKey
-from ..ops.modops import add_mod
+from ..ops.modops import add_mod, mul_mod
 from ..reductions.r1cs_to_qrp import (
-    r1cs_to_qrp_instance_map_with_evaluation,
+    eval_instance_arrays,
+    mod_powers_device,
     _assignment_batches,
     witness_map_kernel_chunked,
 )
@@ -48,7 +66,6 @@ from ..relations.r1cs import CompiledR1CS
 from ..rings.context import RingContext
 from ..rings.elem import RingElem
 from ..utils.domain import RootsDomain
-from ..utils.poly_arr import ring_batch_scale
 from .api import SnarkParams
 from .groth16 import Proof, VerificationKey
 from . import seeded as sd
@@ -129,16 +146,23 @@ def limb_compiled(comp: CompiledR1CS, l: int) -> CompiledR1CS:
 # ---------------------------------------------------------------------------
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def plan_chunks(B: int, phase_rows: int, slab: int) -> tuple[int, int]:
     """(nchunks, chunk) with chunk a multiple of slab, nchunks*chunk >= B.
 
-    All phases of all limbs use the same (nchunks, chunk), so the streamed
-    prover compiles each kernel once; padding waste is bounded by ~slab/B +
+    Split B rows into ~B/phase_rows equal chunks; each chunk holds
+    ceil(B/nchunks) rows rounded up to a whole number of slabs.  All phases
+    of all limbs use the same (nchunks, chunk), so the streamed prover
+    compiles each kernel once; padding waste is bounded by ~slab/B +
     rounding (<= ~6% at the bench shapes).
     """
     nchunks = max(1, round(B / phase_rows))
-    chunk = -(-(-(-B // nchunks)) // slab) * slab
-    while nchunks * chunk < B:  # defensive; round() can undershoot
+    rows_per_chunk = _ceil_div(B, nchunks)
+    chunk = _ceil_div(rows_per_chunk, slab) * slab
+    while nchunks * chunk < B:  # round() may undershoot nchunks by one
         nchunks += 1
     return nchunks, chunk
 
@@ -150,12 +174,19 @@ def plan_chunks(B: int, phase_rows: int, slab: int) -> tuple[int, int]:
 
 @dataclass
 class StreamRecord:
-    """Per-section wall-clock, attributed to setup (CRS encode) vs prove
-    (MACs + witness map + modswitch).  Each timed section ends with a
-    dependent-slice fetch so relay-async completion cannot undercount
-    (DESIGN.md §10 methodology)."""
+    """Per-section wall-clock for the streamed provers.
+
+    Kinds: "setup" (trapdoor/instance algebra + small encodes), "prove"
+    (witness map, finalize), "stream" (the chunked CRS-encode + MAC phase
+    loops — generation and consumption are interleaved and only separable
+    by paying a sync per chunk).  With `profile=True` the phase loops sync
+    per chunk and record r4-style "setup"/"prove" sections instead, at a
+    measured ~30-45 ms relay round trip per sync (DESIGN.md §10).
+    Each timed section ends with a dependent-slice fetch so relay-async
+    completion cannot undercount."""
 
     sync: bool = True
+    profile: bool = False
     events: list = field(default_factory=list)  # (kind, name, seconds)
 
     def total(self, kind: str) -> float:
@@ -173,7 +204,7 @@ class StreamRecord:
 
 
 # ---------------------------------------------------------------------------
-# the streamed prover
+# device kernels
 # ---------------------------------------------------------------------------
 
 
@@ -183,44 +214,153 @@ def _pad_rows(arr, target: int):
     return jnp.pad(arr, [(0, target - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1))
 
 
-from functools import partial as _partial
+@_partial(jax.jit, static_argnames=("ctx",))
+def _mul_res(ctx, a, b):
+    """Broadcast modular product of two residue arrays of the ring."""
+    return mul_mod(a, b, ctx.p, ctx.mu, ctx.pbits)
 
 
-@_partial(jax.jit, static_argnames=("ctx", "n_io"))
-def _g16_crs_rings(ctx, At, Bt, Ct, Ht, Zt, alpha, beta, gamma_inv,
-                   delta_inv, n_io: int):
-    """gamma_io / delta_mid / delta_ts ring vectors as ONE program.
+@_partial(jax.jit, static_argnames=("ctx", "count"))
+def _spow_table(ctx, s_res, count: int):
+    """([1, s, ..., s^(count-1)], s^count) as residue arrays."""
+    pows = mod_powers_device(s_res, count + 1, ctx)
+    return pows[:count], pows[count]
 
-    At Rq 2^15 shapes each operand is ~1 GiB; the eager op chain left ~7
-    temporaries to the relay's deferred deallocator and OOM'd HBM — inside
-    one jit XLA frees intermediates immediately."""
-    from ..ops.modops import mul_mod as _mm, add_mod as _am
 
+@_partial(jax.jit, static_argnames=("domain", "n_io"))
+def _g16_stream_crs(comp, domain, s_res, alpha, beta, gamma_inv, delta_inv,
+                    n_io: int):
+    """gamma_io / delta_mid ring vectors + Zt*delta^-1, one program.
+
+    At/Bt/Ct stay XLA temporaries (at Rq 2^15 each is ~1 GiB); the r4 path
+    additionally materialized Ht and delta_ts at (M+1) rows — both are now
+    regenerated per chunk from s (`groth16.tcc:5-67` CRS contents).
+    """
+    ctx = comp.ctx
+    At, Bt, Ct, Zt = eval_instance_arrays(comp, s_res, domain)
     p, mu, b = ctx.p, ctx.mu, ctx.pbits
-    combo = _am(
-        _am(_mm(At, beta, p, mu, b), _mm(Bt, alpha, p, mu, b), p), Ct, p
+    combo = add_mod(
+        add_mod(mul_mod(At, beta, p, mu, b), mul_mod(Bt, alpha, p, mu, b), p),
+        Ct, p,
     )
-    gamma_io = _mm(combo[:n_io], gamma_inv, p, mu, b)
-    delta_mid = _mm(combo[n_io:], delta_inv, p, mu, b)
-    delta_ts = _mm(_mm(Ht, Zt, p, mu, b), delta_inv, p, mu, b)
-    return gamma_io, delta_mid, delta_ts
+    gamma_io = mul_mod(combo[:n_io], gamma_inv, p, mu, b)
+    delta_mid = mul_mod(combo[n_io:], delta_inv, p, mu, b)
+    zt_dinv = mul_mod(Zt, delta_inv, p, mu, b)
+    return gamma_io, delta_mid, zt_dinv
 
 
-@_partial(jax.jit, static_argnames=("ctx", "n_io"))
-def _rin_crs_rings(ctx, At, Bt, Ct, Ht, alpha, beta, r_v, r_w, r_y,
-                   n_io: int):
-    """alpha_s_pows and the beta lincheck vector as ONE program (see
-    _g16_crs_rings)."""
-    from ..ops.modops import mul_mod as _mm, add_mod as _am
-
+@_partial(jax.jit, static_argnames=("domain", "n_io"))
+def _rin_stream_crs(comp, domain, s_res, beta, r_v, r_w, r_y,
+                    n_io: int):
+    """beta lincheck vector + Zt, one program (see _g16_stream_crs);
+    alpha_s_pows rows are regenerated per chunk as alpha * s^i."""
+    ctx = comp.ctx
+    At, Bt, Ct, Zt = eval_instance_arrays(comp, s_res, domain)
     p, mu, b = ctx.p, ctx.mu, ctx.pbits
-    alpha_s_pows = _mm(Ht, alpha, p, mu, b)
-    lin = _am(
-        _am(_mm(At[n_io:], r_v, p, mu, b), _mm(Bt[n_io:], r_w, p, mu, b), p),
-        _mm(Ct[n_io:], r_y, p, mu, b), p,
+    lin = add_mod(
+        add_mod(mul_mod(At[n_io:], r_v, p, mu, b),
+                mul_mod(Bt[n_io:], r_w, p, mu, b), p),
+        mul_mod(Ct[n_io:], r_y, p, mu, b), p,
     )
-    lincheck = _mm(lin, beta, p, mu, b)
-    return alpha_s_pows, lincheck
+    lincheck = mul_mod(lin, beta, p, mu, b)
+    return lincheck, Zt
+
+
+def _as_batch(ctx: RingContext, x) -> RingElem:
+    """A RingElem batch from a RingElem or a (possibly empty) list."""
+    if isinstance(x, RingElem):
+        return x
+    if x:
+        return RingElem.stack(list(x))
+    return RingElem(ctx, jnp.zeros((0, ctx.L, ctx.N), dtype=jnp.uint32))
+
+
+# ---------------------------------------------------------------------------
+# the phase loop shared by both streamed provers
+# ---------------------------------------------------------------------------
+
+# chunks in flight before a throttling sync: bounds HBM held by queued
+# (not-yet-executed) chunk dispatches to ~(throttle+1) c0 chunks while
+# costing nchunks/throttle relay round trips per phase
+DEFAULT_THROTTLE = 2
+
+
+def _run_phases(
+    params_l: SnarkParams,
+    sk_l: SecretKey,
+    phases: list,
+    nchunks: int,
+    chunk: int,
+    slab: int,
+    spow_l,
+    s_step_l,
+    rec: StreamRecord,
+    limb_tag: int,
+    throttle: int = DEFAULT_THROTTLE,
+) -> dict:
+    """Encode-and-MAC every chunk of every phase for one limb.
+
+    phases: list of (name, src, pts) with src either ("mat", rows_res)
+    — a materialized [B_pad, 1, n] ring vector — or ("pow", scale0_res):
+    chunk ci's rows are spow_l * (scale0 * s^(ci*chunk)), regenerated on
+    device.  Returns {name: [level-0 partial-sum Encodings]}.
+    """
+    ctx_l, ectx_l = params_l.ring, params_l.enc
+    partials: dict[str, list] = {}
+    for name, (kind, src), pts, enc_key in phases:
+        tp = time.perf_counter()
+        accs = None
+        carry = src if kind == "pow" else None
+        for ci in range(nchunks):
+            lo = ci * chunk
+            if kind == "pow":
+                rows_chunk = _mul_res(ctx_l, spow_l, carry)
+                if ci + 1 < nchunks:
+                    carry = _mul_res(ctx_l, carry, s_step_l)
+            else:
+                rows_chunk = src[lo : lo + chunk]
+            if rec.profile:
+                t0 = time.perf_counter()
+            senc = sd.encode_seeded(
+                ectx_l, sk_l, RingElem(ctx_l, rows_chunk),
+                jax.random.fold_in(enc_key, ci), slab,
+            )
+            if rec.profile:
+                rec._sync(senc.c0)
+                rec.add("setup", f"limb{limb_tag}:{name}+{lo}",
+                        time.perf_counter() - t0)
+                t0 = time.perf_counter()
+            outs = sd.seeded_inner_product(
+                senc, [pt[lo : lo + chunk] for pt in pts],
+                use_modswitch=False,
+            )
+            accs = outs if accs is None else [
+                a + b for a, b in zip(accs, outs)
+            ]
+            if rec.profile:
+                rec._sync(*[o.c0 for o in accs])
+                rec.add("prove", f"limb{limb_tag}:{name}+{lo}",
+                        time.perf_counter() - t0)
+            elif (ci + 1) % throttle == 0 and ci + 1 < nchunks:
+                rec._sync(accs[0].c0)  # memory throttle, not a timing point
+            del senc
+        partials[name] = accs
+        if not rec.profile:
+            rec._sync(*[o.c0 for o in accs])
+            rec.add("stream", f"limb{limb_tag}:{name}",
+                    time.perf_counter() - tp)
+    return partials
+
+
+def _finish_modswitch(e: Encoding, max_level: int) -> Encoding:
+    for _ in range(max_level):
+        e = e.modswitch()
+    return e
+
+
+# ---------------------------------------------------------------------------
+# the streamed groth16 prover
+# ---------------------------------------------------------------------------
 
 
 def stream_prove(
@@ -236,6 +376,7 @@ def stream_prove(
     record: Optional[StreamRecord] = None,
     trapdoor: Optional[tuple] = None,
     sk_enc: Optional[SecretKey] = None,
+    limb_tag: Optional[int] = None,
 ):
     """Setup + prove with the CRS never fully resident (`groth16.tcc:5-115`).
 
@@ -259,8 +400,7 @@ def stream_prove(
         # (every table and kernel is limb-diagonal; the per-limb
         # RootsDomain's tables equal the limb slice of the full-L domain's
         # because roots are derived per prime — exactness is asserted by the
-        # decode-equality tests).  Halves the L=2 persistent set that OOM'd
-        # the r4 rq14-L2 attempt.
+        # decode-equality tests).
         t0 = time.perf_counter()
         domain = RootsDomain(ctx, M)
         if trapdoor is None:
@@ -276,15 +416,8 @@ def stream_prove(
             delta = RingElem.random_invertible_element(ctx, rng)
         rec.add("setup", "common", time.perf_counter() - t0)
 
-        def as_batch(x, n_rows_attr):
-            if isinstance(x, RingElem):
-                return x
-            return (RingElem.stack(list(x)) if x
-                    else RingElem(ctx, jnp.zeros((0, ctx.L, 1),
-                                                 dtype=jnp.uint32)))
-
-        primary_b = as_batch(primary, "p")
-        aux_b = as_batch(auxiliary, "a")
+        primary_b = _as_batch(ctx, primary)
+        aux_b = _as_batch(ctx, auxiliary)
         elems = []
         gio = []
         for l in range(L):
@@ -303,6 +436,7 @@ def stream_prove(
                 slab=slab, phase_rows=phase_rows, record=rec,
                 trapdoor=td_l,
                 sk_enc=limb_secret_key(params_l.enc, sk_enc, l),
+                limb_tag=l,
             )
             elems.append(proof_l)
             gio.append(vk_l.pk.gamma_io)
@@ -334,7 +468,7 @@ def stream_prove(
                              delta=delta, sk_enc=sk_enc)
         return proof, vk, rec
 
-    # ---- common setup (full L): trapdoor, QRP instance eval, plain CRS ----
+    # ---- common setup (full L): trapdoor, instance algebra ----------------
     t0 = time.perf_counter()
     # sampling order matches seeded.generator_seeded exactly, so the same
     # seeded rng yields the same trapdoor/sk across both paths (tests rely
@@ -351,18 +485,12 @@ def stream_prove(
         beta = RingElem.random_invertible_element(ctx, rng)
         gamma = RingElem.random_invertible_element(ctx, rng)
         delta = RingElem.random_invertible_element(ctx, rng)
-    qrp = r1cs_to_qrp_instance_map_with_evaluation(comp, s, domain)
-    s_pows_res = qrp.Ht.res  # [M+1, L, 1]
-    gamma_io_res, delta_mid_res, delta_ts_res = _g16_crs_rings(
-        ctx, qrp.At.res, qrp.Bt.res, qrp.Ct.res, qrp.Ht.res, qrp.Zt.res,
-        alpha.res, beta.res, gamma.inverse().res, delta.inverse().res, n_io,
+    gamma_io_res, delta_mid_res, zt_dinv_res = _g16_stream_crs(
+        comp, domain, s.res, alpha.res, beta.res,
+        gamma.inverse().res, delta.inverse().res, n_io,
     )
     gamma_io_ring = RingElem(ctx, gamma_io_res)
-    # free the full-L instance evaluation now: at Rq shapes qrp's At/Bt/Ct
-    # are ~1 GiB each and nothing below needs them (the r4 rq14/rq15 first
-    # attempts OOM'd HBM on exactly this residency)
-    del qrp
-    rec._sync(s_pows_res, delta_ts_res, delta_mid_res)
+    rec._sync(delta_mid_res, zt_dinv_res)
     rec.add("setup", "common", time.perf_counter() - t0)
 
     # ---- witness map (full L, slot-chunked for Rq program size) -----------
@@ -376,14 +504,7 @@ def stream_prove(
         outputs="prover",
     )
     del full, io, mid
-    if isinstance(auxiliary, RingElem):
-        aux_res = auxiliary.res
-    else:
-        aux_res = (
-            RingElem.stack(list(auxiliary)).res
-            if auxiliary
-            else jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)
-        )
+    aux_res = _as_batch(ctx, auxiliary).res
     rec._sync(a_full, b_full, H)
     rec.add("prove", "witness_map", time.perf_counter() - t0)
 
@@ -391,7 +512,8 @@ def stream_prove(
     # one (nchunks, chunk) plan shared by every phase of every limb
     # (delta_mid has num_variables - primary rows, which can exceed M+1
     # for wide circuits like the mul chain)
-    B_max = max(domain.m + 1, comp.num_variables - comp.primary_input_size)
+    n_aux = comp.num_variables - comp.primary_input_size
+    B_max = max(domain.m + 1, n_aux)
     nchunks, chunk = plan_chunks(B_max, phase_rows, slab)
     B_pad = nchunks * chunk
     ums = params.use_modswitch
@@ -403,13 +525,14 @@ def stream_prove(
     b_full = _pad_rows(b_full, B_pad)
     H = _pad_rows(H, B_pad)
     aux_res = _pad_rows(aux_res, B_pad)
-    s_pows_res = _pad_rows(s_pows_res, B_pad)
-    delta_ts_res = _pad_rows(delta_ts_res, B_pad)
     delta_mid_res = _pad_rows(delta_mid_res, B_pad)
+    # per-chunk power table: chunk rows of s^i and the chunk step s^chunk
+    spow, s_step = _spow_table(ctx, s.res, chunk)
 
     limb_proofs = []  # (A, B, C) per limb, Encoding over the 1-limb ctx
     gamma_io_parts = []
     for l in range(L):
+        lt = limb_tag if limb_tag is not None else l
         params_l = limb_params(params, l)
         ctx_l, ectx_l = params_l.ring, params_l.enc
         sk_l = limb_secret_key(ectx_l, sk_enc, l)
@@ -432,68 +555,44 @@ def stream_prove(
             )
         )
         rec._sync(alpha_enc.c0, gamma_io_parts[-1].c0)
-        rec.add("setup", f"limb{l}:small", time.perf_counter() - t0)
+        rec.add("setup", f"limb{lt}:small", time.perf_counter() - t0)
 
-        # the three streaming phases: (name, CRS ring rows, pts, key)
+        # the three streaming phases: (name, source, pts, key).  ones/zt_dinv
+        # seeds the regenerated s^i rows; delta_mid rows are materialized.
+        ones_l = jnp.broadcast_to(
+            RingElem.one(ctx_l).res, limb_slice(ctx_l, s.res, l).shape
+        ).astype(jnp.uint32)
         phases = [
-            ("s_pows", s_pows_res,
+            ("s_pows", ("pow", ones_l),
              [limb_slice(ctx_l, a_full, l),
               limb_slice(ctx_l, b_full, l)], keys[3]),
-            ("delta_ts", delta_ts_res,
+            ("delta_ts", ("pow", limb_slice(ctx_l, zt_dinv_res, l)),
              [limb_slice(ctx_l, H, l)], keys[4]),
         ]
-        if comp.num_variables - comp.primary_input_size > 0:
+        if n_aux > 0:
             phases.append(
-                ("delta_mid", delta_mid_res,
+                ("delta_mid", ("mat", limb_slice(ctx_l, delta_mid_res, l)),
                  [limb_slice(ctx_l, aux_res, l)], keys[5])
             )
-
-        partials: dict[str, list] = {}
-        for name, ring_res, pts, enc_key in phases:
-            rows_l = limb_slice(ctx_l, ring_res, l)
-            accs = None
-            for ci in range(nchunks):
-                lo = ci * chunk
-                sub = RingElem(ctx_l, rows_l[lo : lo + chunk])
-                t0 = time.perf_counter()
-                senc = sd.encode_seeded(
-                    ectx_l, sk_l, sub, jax.random.fold_in(enc_key, ci), slab
-                )
-                rec._sync(senc.c0)
-                rec.add("setup", f"limb{l}:{name}+{lo}",
-                        time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                outs = sd.seeded_inner_product(
-                    senc, [pt[lo : lo + chunk] for pt in pts],
-                    use_modswitch=False,
-                )
-                if accs is None:
-                    accs = outs
-                else:
-                    accs = [a + b for a, b in zip(accs, outs)]
-                rec._sync(*[o.c0 for o in accs])
-                rec.add("prove", f"limb{l}:{name}+{lo}",
-                        time.perf_counter() - t0)
-                del senc
-            partials[name] = accs
+        partials = _run_phases(
+            params_l, sk_l, phases, nchunks, chunk, slab,
+            limb_slice(ctx_l, spow, l), limb_slice(ctx_l, s_step, l),
+            rec, lt,
+        )
 
         # final modswitch chains + proof assembly for this limb
         t0 = time.perf_counter()
-        finals = {}
-        for name, accs in partials.items():
-            outs = []
-            for e in accs:
-                for _ in range(max_level):
-                    e = e.modswitch()
-                outs.append(e)
-            finals[name] = outs
+        finals = {
+            name: [_finish_modswitch(e, max_level) for e in accs]
+            for name, accs in partials.items()
+        }
         A_l = finals["s_pows"][0] + alpha_enc
         B_l = finals["s_pows"][1] + beta_enc
         C_l = finals["delta_ts"][0]
         if "delta_mid" in finals:
             C_l = C_l + finals["delta_mid"][0]
         rec._sync(A_l.c0, B_l.c0, C_l.c0)
-        rec.add("prove", f"limb{l}:finalize", time.perf_counter() - t0)
+        rec.add("prove", f"limb{lt}:finalize", time.perf_counter() - t0)
         limb_proofs.append((A_l, B_l, C_l))
 
     # ---- assemble the full-L proof and vk ---------------------------------
@@ -569,9 +668,11 @@ def stream_prove_rinocchio(
     groth16's (s_pows + alpha_s_pows + beta_prods) and the prover runs 10
     inner products (9 against the two seeded s-power batches, F against
     beta_prods), so this is the configuration that most needs streaming —
-    the resident prover tops out near 2^14 per chip.  Sampling order matches
-    `rinocchio.generator` + `rinocchio.prover` so a same-seed rng yields
-    identical trapdoor and proof plaintexts (tests rely on this).
+    the resident prover tops out near 2^14 per chip.  Both s-power CRS
+    phases are chunk-regenerated from s (alpha_s_pows = alpha * s^i).
+    Sampling order matches `rinocchio.generator` + `rinocchio.prover` so a
+    same-seed rng yields identical trapdoor and proof plaintexts (tests
+    rely on this).
 
     Returns (proof, vk, record); vk carries a CRS-less ProvingKey stub.
     """
@@ -598,20 +699,15 @@ def stream_prove_rinocchio(
     r_w = RingElem.random_invertible_element(ctx, rng)
     r_y = r_v * r_w
     beta = RingElem.random_nonzero_element(ctx, rng)
-    qrp = r1cs_to_qrp_instance_map_with_evaluation(comp, s, domain)
-
-    s_pows_res = qrp.Ht.res  # [M+1, L, 1]
-    alpha_s_pows_res, lincheck_res = _rin_crs_rings(
-        ctx, qrp.At.res, qrp.Bt.res, qrp.Ct.res, qrp.Ht.res,
-        alpha.res, beta.res, r_v.res, r_w.res, r_y.res, n_io,
+    lincheck_res, Zt_res = _rin_stream_crs(
+        comp, domain, s.res, beta.res, r_v.res, r_w.res, r_y.res, n_io,
     )
     beta_prods_res = lincheck_res if use_zk else None
-    beta_Zt = beta * qrp.Zt
+    beta_Zt = beta * RingElem(ctx, Zt_res)
     shift_terms = RingElem.stack(
         [beta_Zt * r_v, beta_Zt * r_w, beta_Zt * r_y]
     )  # the 3 F-shift CRS terms actually used by the prover
-    del qrp  # free At/Bt/Ct (Rq-scale residency; see stream_prove)
-    rec._sync(s_pows_res, alpha_s_pows_res)
+    rec._sync(lincheck_res)
     rec.add("setup", "common", time.perf_counter() - t0)
 
     # ---- witness map (full L) --------------------------------------------
@@ -634,14 +730,7 @@ def stream_prove_rinocchio(
     else:
         a_vec, b_vec, c_vec = a_mid, b_mid, c_mid
     del a_mid, b_mid, c_mid, full, io, mid
-    if isinstance(auxiliary, RingElem):
-        aux_res = auxiliary.res
-    else:
-        aux_res = (
-            RingElem.stack(list(auxiliary)).res
-            if auxiliary
-            else jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)
-        )
+    aux_res = _as_batch(ctx, auxiliary).res
     rec._sync(a_vec, H)
     rec.add("prove", "witness_map", time.perf_counter() - t0)
 
@@ -658,10 +747,9 @@ def stream_prove_rinocchio(
     c_vec = _pad_rows(c_vec, B_pad)
     H = _pad_rows(H, B_pad)
     aux_res = _pad_rows(aux_res, B_pad)
-    s_pows_res = _pad_rows(s_pows_res, B_pad)
-    alpha_s_pows_res = _pad_rows(alpha_s_pows_res, B_pad)
     if beta_prods_res is not None:
         beta_prods_res = _pad_rows(beta_prods_res, B_pad)
+    spow, s_step = _spow_table(ctx, s.res, chunk)
 
     limb_elems: list[list[Encoding]] = []  # 9 proof elements per limb (+F)
     for l in range(L):
@@ -681,58 +769,34 @@ def stream_prove_rinocchio(
         main_pts = [
             limb_slice(ctx_l, v, l) for v in (a_vec, b_vec, c_vec, H)
         ]
+        ones_l = jnp.broadcast_to(
+            RingElem.one(ctx_l).res, limb_slice(ctx_l, s.res, l).shape
+        ).astype(jnp.uint32)
         phases = [
-            ("s_pows", s_pows_res, main_pts, keys[1]),
-            ("alpha_s_pows", alpha_s_pows_res, main_pts, keys[2]),
+            ("s_pows", ("pow", ones_l), main_pts, keys[1]),
+            ("alpha_s_pows", ("pow", limb_slice(ctx_l, alpha.res, l)),
+             main_pts, keys[2]),
         ]
         if use_zk:
             phases.append(
-                ("beta_prods", beta_prods_res,
+                ("beta_prods", ("mat", limb_slice(ctx_l, beta_prods_res, l)),
                  [limb_slice(ctx_l, aux_res, l)], keys[3])
             )
-
-        partials: dict[str, list] = {}
-        for name, ring_res, pts, enc_key in phases:
-            rows_l = limb_slice(ctx_l, ring_res, l)
-            accs = None
-            for ci in range(nchunks):
-                lo = ci * chunk
-                sub = RingElem(ctx_l, rows_l[lo : lo + chunk])
-                t0 = time.perf_counter()
-                senc = sd.encode_seeded(
-                    ectx_l, sk_l, sub, jax.random.fold_in(enc_key, ci), slab
-                )
-                rec._sync(senc.c0)
-                rec.add("setup", f"limb{l}:{name}+{lo}",
-                        time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                outs = sd.seeded_inner_product(
-                    senc, [pt[lo : lo + chunk] for pt in pts],
-                    use_modswitch=False,
-                )
-                accs = outs if accs is None else [
-                    a + b for a, b in zip(accs, outs)
-                ]
-                rec._sync(*[o.c0 for o in accs])
-                rec.add("prove", f"limb{l}:{name}+{lo}",
-                        time.perf_counter() - t0)
-                del senc
-            partials[name] = accs
+        partials = _run_phases(
+            params_l, sk_l, phases, nchunks, chunk, slab,
+            limb_slice(ctx_l, spow, l), limb_slice(ctx_l, s_step, l),
+            rec, l,
+        )
 
         t0 = time.perf_counter()
         elems = []
         # proof order: A, A', B, B', C, C', D, D' (rinocchio.hpp:117-146)
         for i in range(4):
             for name in ("s_pows", "alpha_s_pows"):
-                e = partials[name][i]
-                for _ in range(max_level):
-                    e = e.modswitch()
-                elems.append(e)
+                elems.append(_finish_modswitch(partials[name][i], max_level))
         f_l = None
         if use_zk:
-            f = partials["beta_prods"][0]
-            for _ in range(max_level):
-                f = f.modswitch()
+            f = _finish_modswitch(partials["beta_prods"][0], max_level)
             # F shift terms multiply single FRESH encodings (level 0)
             for i, d in enumerate((d1, d2, d3)):
                 d_l = RingElem(ctx_l, limb_slice(ctx_l, d.res, l))
