@@ -58,6 +58,9 @@ def main():
                     help="limb-phased streamed prover (any L on one chip)")
     ap.add_argument("--phase-chunk", type=int, default=1 << 16,
                     help="phased mode: target CRS rows resident at a time")
+    ap.add_argument("--throttle", type=int, default=2,
+                    help="phased mode: chunks in flight before a memory-"
+                         "throttling sync (1 = tightest, for Rq shapes)")
     ap.add_argument("--passes", type=int, default=3,
                     help="phased mode: pass 0 cold (compile), pass 1 warm "
                          "un-profiled (combined wall = headline), pass 2 "
@@ -151,13 +154,20 @@ def main():
         },
     }
 
-    # soundness of the benched configuration (Schwartz-Zippel over the
-    # exceptional set, per outer limb; docs/qrp.sage:3-7 uses 3 ~60-bit limbs)
+    # soundness of the benched configuration (DESIGN.md §12): per-proof
+    # error is 2M/q_min (the single failing limb); the L-fold product
+    # applies to limb-globally-false statement families OR, for any
+    # statement, to K=L independent repetitions — which cost exactly what
+    # this L-limb row measures.
     min_pbits = min(int(p).bit_length() for p in ring.primes)
-    sz_log2 = args.L * ((args.log_m + 1) - (min_pbits - 1))
+    per_limb = (args.log_m + 1) - (min_pbits - 1)
+    sz_log2 = args.L * per_limb
+    result["soundness_err_log2_single"] = per_limb
     result["soundness_err_log2"] = sz_log2
-    print(f"[cfg] soundness error ~2^{sz_log2} "
-          f"({args.L} limb(s) of {min_pbits} bits at M=2^{args.log_m})",
+    print(f"[cfg] soundness ~2^{per_limb} per proof; ~2^{sz_log2} for "
+          f"limb-global statements or K={args.L} repetitions "
+          f"({args.L} limb(s) of {min_pbits} bits at M=2^{args.log_m}; "
+          f"DESIGN §12)",
           file=sys.stderr, flush=True)
 
     if not args.phased:
@@ -232,6 +242,7 @@ def main():
                 comp, params, primary, aux, np.random.default_rng(p_i),
                 jax.random.fold_in(key, p_i),
                 slab=args.slab, phase_rows=args.phase_chunk, record=rec,
+                throttle=args.throttle,
             )
             wall = time.perf_counter() - t0
             setup_p, prove_p = rec.total("setup"), rec.total("prove")

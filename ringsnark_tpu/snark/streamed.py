@@ -377,6 +377,7 @@ def stream_prove(
     trapdoor: Optional[tuple] = None,
     sk_enc: Optional[SecretKey] = None,
     limb_tag: Optional[int] = None,
+    throttle: int = DEFAULT_THROTTLE,
 ):
     """Setup + prove with the CRS never fully resident (`groth16.tcc:5-115`).
 
@@ -436,7 +437,7 @@ def stream_prove(
                 slab=slab, phase_rows=phase_rows, record=rec,
                 trapdoor=td_l,
                 sk_enc=limb_secret_key(params_l.enc, sk_enc, l),
-                limb_tag=l,
+                limb_tag=l, throttle=throttle,
             )
             elems.append(proof_l)
             gio.append(vk_l.pk.gamma_io)
@@ -577,7 +578,7 @@ def stream_prove(
         partials = _run_phases(
             params_l, sk_l, phases, nchunks, chunk, slab,
             limb_slice(ctx_l, spow, l), limb_slice(ctx_l, s_step, l),
-            rec, lt,
+            rec, lt, throttle=throttle,
         )
 
         # final modswitch chains + proof assembly for this limb
@@ -661,6 +662,7 @@ def stream_prove_rinocchio(
     slab: int = 4096,
     phase_rows: int = 1 << 16,
     record: Optional[StreamRecord] = None,
+    throttle: int = DEFAULT_THROTTLE,
 ):
     """Streamed Rinocchio setup + prove (`rinocchio.tcc:5-190` semantics).
 
@@ -785,7 +787,7 @@ def stream_prove_rinocchio(
         partials = _run_phases(
             params_l, sk_l, phases, nchunks, chunk, slab,
             limb_slice(ctx_l, spow, l), limb_slice(ctx_l, s_step, l),
-            rec, l,
+            rec, l, throttle=throttle,
         )
 
         t0 = time.perf_counter()

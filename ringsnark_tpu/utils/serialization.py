@@ -25,6 +25,10 @@ __all__ = [
     "load_groth16_pk",
     "save_rinocchio_pk",
     "load_rinocchio_pk",
+    "save_seeded_pk",
+    "load_seeded_pk",
+    "save_compiled",
+    "load_compiled",
     "save_vk",
     "load_vk",
     "save_secret_key",
@@ -200,6 +204,116 @@ def load_rinocchio_pk(path: str):
     )
 
 
+# ---- seeded / streamed key format -----------------------------------------
+# The format actually used at scale: c0-only CRS batches + the PRNG key that
+# regenerates c1 (snark/seeded.SeededEncoding), or the CRS-less stub the
+# streamed provers return.  The compiled R1CS (array path) is embedded, so
+# benchmark-scale keys round-trip without the object frontend.
+
+
+def _key_save(key, store: dict, prefix: str, meta: dict):
+    import jax
+
+    store[f"{prefix}_keydata"] = np.asarray(jax.random.key_data(key))
+    meta[f"{prefix}_impl"] = str(jax.random.key_impl(key))
+
+
+def _key_load(data, prefix: str, meta: dict):
+    import jax
+
+    return jax.random.wrap_key_data(
+        jnp.asarray(data[f"{prefix}_keydata"]), impl=meta[f"{prefix}_impl"]
+    )
+
+
+def save_compiled(store: dict, meta: dict, comp):
+    meta["compiled"] = {
+        "num_constraints": comp.num_constraints,
+        "num_variables": comp.num_variables,
+        "primary_input_size": comp.primary_input_size,
+    }
+    for i, which in enumerate("abc"):
+        store[f"coo_{which}_rows"] = np.asarray(comp.rows[i])
+        store[f"coo_{which}_cols"] = np.asarray(comp.cols[i])
+        store[f"coo_{which}_coeffs"] = np.asarray(comp.coeffs[i])
+
+
+def load_compiled(data, meta: dict, ring: RingContext):
+    from ..relations.r1cs import CompiledR1CS
+
+    m = meta["compiled"]
+    return CompiledR1CS(
+        ctx=ring,
+        num_constraints=m["num_constraints"],
+        num_variables=m["num_variables"],
+        primary_input_size=m["primary_input_size"],
+        rows=tuple(jnp.asarray(data[f"coo_{w}_rows"]) for w in "abc"),
+        cols=tuple(jnp.asarray(data[f"coo_{w}_cols"]) for w in "abc"),
+        coeffs=tuple(jnp.asarray(data[f"coo_{w}_coeffs"]) for w in "abc"),
+    )
+
+
+def save_seeded_pk(path: str, pk):
+    """snark/seeded.SeededProvingKey to npz: c0-only CRS batches + PRNG keys
+    (half the bytes of the expanded CRS), or the streamed provers' CRS-less
+    stub (gamma_io only).  The reference declares pk streaming and never
+    implements it (`r1cs_ppzksnark.hpp:43-47`)."""
+    store, meta = {}, {
+        "ctx": context_to_json(pk.params.enc),
+        "use_modswitch": pk.params.use_modswitch,
+        "seeded": [],
+    }
+    save_compiled(store, meta, pk.compiled)
+    for name in ("alpha", "beta", "gamma_io"):
+        _enc_arrays(name, getattr(pk, name), store, meta)
+    for name in ("s_pows", "delta_mid", "delta_ts"):
+        se = getattr(pk, name)
+        if se is None:
+            meta[name] = None
+            continue
+        store[f"{name}_c0"] = np.asarray(se.c0)
+        _key_save(se.key, store, name, meta)
+        meta[name] = {"slab": se.slab, "batch": se.batch, "level": se.level}
+        meta["seeded"].append(name)
+    np.savez_compressed(path, __meta__=json.dumps(meta), **store)
+
+
+def load_seeded_pk(path: str):
+    from ..snark.api import SnarkParams
+    from ..snark.seeded import SeededEncoding, SeededProvingKey
+    from ..utils.domain import RootsDomain
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    ectx = context_from_json(meta["ctx"])
+    comp = load_compiled(data, meta, ectx.ring)
+    params = SnarkParams(
+        ring=ectx.ring, enc=ectx, use_modswitch=meta["use_modswitch"]
+    )
+    seeded = {}
+    for name in ("s_pows", "delta_mid", "delta_ts"):
+        if meta[name] is None:
+            seeded[name] = None
+            continue
+        seeded[name] = SeededEncoding(
+            ctx=ectx,
+            c0=jnp.asarray(data[f"{name}_c0"]),
+            key=_key_load(data, name, meta),
+            slab=meta[name]["slab"],
+            batch=meta[name]["batch"],
+            level=meta[name]["level"],
+        )
+    return SeededProvingKey(
+        compiled=comp,
+        domain=RootsDomain(ectx.ring, max(comp.num_constraints, 1)),
+        params=params,
+        alpha=_enc_load("alpha", data, meta, ectx),
+        beta=_enc_load("beta", data, meta, ectx),
+        gamma_io=_enc_load("gamma_io", data, meta, ectx),
+        **seeded,
+    )
+
+
 _VK_RING_FIELDS = {
     "groth16": ("s", "alpha", "beta", "gamma", "delta"),
     "rinocchio": ("s", "alpha", "beta", "r_v", "r_w", "r_y"),
@@ -212,16 +326,21 @@ def save_vk(path: str, vk, pk_path: str, cs_path: str):
     `pk_path` and referenced.  Covers the abstract API's declared-but-never-
     implemented vk streaming (`r1cs_ppzksnark.hpp:69-74`)."""
     from ..snark import groth16 as _g16, rinocchio as _rin
+    from ..snark.seeded import SeededProvingKey
 
     if isinstance(vk, _g16.VerificationKey):
         system = "groth16"
-        save_groth16_pk(pk_path, vk.pk, cs_path)
+        if isinstance(vk.pk, SeededProvingKey):
+            system = "groth16_seeded"
+            save_seeded_pk(pk_path, vk.pk)
+        else:
+            save_groth16_pk(pk_path, vk.pk, cs_path)
     elif isinstance(vk, _rin.VerificationKey):
         system = "rinocchio"
         save_rinocchio_pk(pk_path, vk.pk, cs_path)
     else:  # pragma: no cover - defensive
         raise TypeError(f"unknown verification key type {type(vk)}")
-    fields = _VK_RING_FIELDS[system]
+    fields = _VK_RING_FIELDS[system.split("_")[0]]
     store = {name: np.asarray(getattr(vk, name).res) for name in fields}
     sk = vk.sk_enc
     store["sk_s_ntt"] = np.asarray(sk.s_ntt)
@@ -239,7 +358,12 @@ def load_vk(path: str):
     meta = json.loads(str(data["__meta__"]))
     system = meta["system"]
     ectx = context_from_json(meta["ctx"])
-    if system == "groth16":
+    if system == "groth16_seeded":
+        from ..snark.groth16 import VerificationKey
+
+        pk = load_seeded_pk(meta["pk_path"])
+        system = "groth16"
+    elif system == "groth16":
         from ..snark.groth16 import VerificationKey
 
         pk = load_groth16_pk(meta["pk_path"])

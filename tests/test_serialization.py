@@ -13,6 +13,19 @@ from ringsnark_tpu.ops.primes import find_ntt_primes
 from ringsnark_tpu.utils import serialization as ser
 
 
+
+
+def _params(L, N):
+    ring = default_context(L=L, N=N, order=1 << 12)
+    inner, below = [], 1 << 31
+    while len(inner) < 3:
+        c = find_ntt_primes(1, 128, below=below)[0]
+        below = c
+        if c not in ring.primes:
+            inner.append(c)
+    enc = EncodingContext(ring=ring, n_inner=64, inner_primes=tuple(inner))
+    return SnarkParams(ring=ring, enc=enc)
+
 @pytest.fixture(scope="module")
 def env():
     ring = default_context(L=2, N=8, order=1 << 12)
@@ -119,3 +132,54 @@ def test_vk_roundtrip_and_verify(env, tmp_path, system):
     proof = mod.prover(kp.pk, pb.primary_input(), pb.auxiliary_input(), rng)
     # the RELOADED designated-verifier key must accept a fresh proof
     assert mod.verifier(vk2, pb.primary_input(), proof)
+
+
+def test_seeded_pk_roundtrip(tmp_path):
+    """The c0+PRNG-key SeededProvingKey round-trips and the reloaded key
+    produces a bit-identical proof (same witness map + MAC + c1 regen)."""
+    import jax
+    from ringsnark_tpu.models.synthetic import build_synthetic_square_chain
+    from ringsnark_tpu.snark import seeded as sd
+    from ringsnark_tpu.utils.serialization import (
+        load_seeded_pk,
+        save_seeded_pk,
+    )
+
+    params = _params(L=2, N=1)
+    rng = np.random.default_rng(31)
+    comp, primary, aux = build_synthetic_square_chain(params.ring, 32, rng)
+    key = jax.random.key(4, impl="threefry2x32")
+    kp = sd.generator_seeded(comp, params, rng, key, slab=16)
+    p = str(tmp_path / "seeded_pk.npz")
+    save_seeded_pk(p, kp.pk)
+    pk2 = load_seeded_pk(p)
+    proof1 = sd.prover_seeded(kp.pk, primary, aux)
+    proof2 = sd.prover_seeded(pk2, primary, aux)
+    for name in ("A", "B", "C"):
+        e1, e2 = getattr(proof1, name), getattr(proof2, name)
+        assert (np.asarray(e1.c0) == np.asarray(e2.c0)).all()
+        assert (np.asarray(e1.c1) == np.asarray(e2.c1)).all()
+        assert e1.level == e2.level
+
+
+def test_streamed_vk_roundtrip(tmp_path):
+    """save_vk/load_vk cover the streamed provers' CRS-less stub pk; the
+    reloaded designated-verifier key verifies the original proof."""
+    import jax
+    from ringsnark_tpu.models.synthetic import build_synthetic_square_chain
+    from ringsnark_tpu.snark import groth16
+    from ringsnark_tpu.snark import streamed as st
+    from ringsnark_tpu.utils.serialization import load_vk, save_vk
+
+    params = _params(L=1, N=1)
+    rng = np.random.default_rng(32)
+    comp, primary, aux = build_synthetic_square_chain(params.ring, 32, rng)
+    key = jax.random.key(5, impl="threefry2x32")
+    proof, vk, _ = st.stream_prove(
+        comp, params, primary, aux, np.random.default_rng(1), key,
+        slab=16, phase_rows=32,
+    )
+    vp = str(tmp_path / "vk.npz")
+    save_vk(vp, vk, str(tmp_path / "pk.npz"), str(tmp_path / "cs.json"))
+    vk2 = load_vk(vp)
+    assert groth16.verifier(vk2, primary, proof)

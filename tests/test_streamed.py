@@ -175,3 +175,31 @@ def test_stream_rinocchio_decodes_equal_to_resident(env):
         da = decode(ectx, vk_s.sk_enc, a)
         db = decode(ectx, kp.vk.sk_enc, b)
         assert np.array_equal(np.asarray(da.res), np.asarray(db.res)), name
+
+
+def test_repetition_amplification():
+    """K independent proofs of one statement all verify; any single
+    repetition rejecting a wrong public input rejects the bundle
+    (snark/amplify.py; DESIGN §12)."""
+    import jax
+    import jax.numpy as jnp
+    from ringsnark_tpu.snark import amplify
+    from ringsnark_tpu.snark import groth16
+
+    params = _make_params(L=1, N=1)
+    ring = params.ring
+    rng = np.random.default_rng(21)
+    comp, primary, aux = build_synthetic_square_chain(ring, 32, rng)
+    key = jax.random.key(3, impl="threefry2x32")
+    rp = amplify.prove_repeated(
+        comp, params, primary, aux, np.random.default_rng(3), key, reps=2,
+        slab=32, phase_rows=64,
+    )
+    assert rp.reps == 2
+    assert amplify.verify_repeated(rp, primary)
+    bad = type(primary)(
+        primary.ctx, (primary.res + 1) % jnp.asarray(ring.p)[None]
+    )
+    assert not amplify.verify_repeated(rp, bad)
+    # error exponent helper matches the bench formula
+    assert amplify.soundness_err_log2(1 << 18, 31, reps=3) == 3 * (19 - 30)
