@@ -278,14 +278,19 @@ def main():
             _sync(fhe.s.res)
             keygen_s = time.perf_counter() - t0
 
-            zero_tail = [0] * (ring.N - 1)
+            # batched encrypt (fhe.encrypt_batch): 2*nf ciphertexts in two
+            # dispatches — the r4 per-element loop measured ~47 ms/ct
+            msgs1 = np.zeros((nf, ring.N), dtype=np.int64)
+            msgs2 = np.zeros((nf, ring.N), dtype=np.int64)
+            msgs1[:, 0] = np.arange(nf) % (1 << logT)
+            msgs2[:, 0] = (2 * np.arange(nf) + 1) % (1 << logT)
             t0 = time.perf_counter()
-            cts1, cts2 = [], []
-            for i in range(nf):
-                cts1.append(fhe.encrypt([i % (1 << logT)] + zero_tail))
-                cts2.append(fhe.encrypt([(2 * i + 1) % (1 << logT)] + zero_tail))
-            _sync(cts1[-1][0].res, cts2[-1][0].res)
+            c0_1, c1_1 = fhe.encrypt_batch(msgs1)
+            c0_2, c1_2 = fhe.encrypt_batch(msgs2)
+            _sync(c0_1.res, c0_2.res)
             enc_s = time.perf_counter() - t0
+            cts1 = [(c0_1[i], c1_1[i]) for i in range(nf)]
+            cts2 = [(c0_2[i], c1_2[i]) for i in range(nf)]
 
             def fhe_eval():
                 t0 = time.perf_counter()

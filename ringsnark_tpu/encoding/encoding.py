@@ -121,14 +121,57 @@ class Encoding:
         return cls(ctx, z, z, level)
 
 
-def encode(ctx: EncodingContext, sk: SecretKey, rs: RingElem, key) -> Encoding:
-    """Encrypt a RingElem batch ([*, L, n] slots) under the per-limb keys.
+# Per-call transform-volume cap for the batched encode: past it the
+# internal negacyclic NTTs exceed the Pallas unrolled call-volume cap
+# (`ops/ntt._PALLAS_MAX_CALL_UNITS`) and fall back to the ~5x-slower XLA
+# path inside one enormous program — the r4 in-circuit-NTT circuit (4098
+# dense io rows at N'=16384) spent 330 s of "setup" compiling exactly
+# that.  Chunking the batch axis reuses ONE compiled per-chunk kernel.
+import os as _os
 
-    One fused kernel for the whole batch (vs the reference's per-element
-    OpenMP loop, `seal_ring.tcc:336-357`).  `key` is a jax PRNG key.
+_ENCODE_CHUNK_ELEMS = int(
+    _os.environ.get("RINGSNARK_ENCODE_CHUNK_ELEMS", 1 << 22)
+)
+
+
+def encode(ctx: EncodingContext, sk: SecretKey, rs: RingElem, key) -> Encoding:
+    """Encrypt a RingElem batch ([B, L, n] slots) under the per-limb keys.
+
+    Batched kernel (vs the reference's per-element OpenMP loop,
+    `seal_ring.tcc:336-357`), chunked along the batch axis so the internal
+    transforms stay on the Pallas fast path; chunk i draws its randomness
+    from `fold_in(key, i)` (one chunk encrypts with `key` itself, so small
+    batches are unchanged).  `key` is a jax PRNG key.
     """
     slots = rs.broadcast_to_poly().res if rs.res.shape[-1] != ctx.ring.N else rs.res
-    c0, c1 = bgv.encrypt(ctx, sk, slots, key)
+    if slots.ndim < 3:  # single element [L, n]
+        c0, c1 = bgv.encrypt(ctx, sk, slots, key)
+        return Encoding(ctx, c0, c1, 0)
+    B = slots.shape[0]
+    per_row = ctx.L * ctx.L_inner * ctx.n_inner
+    chunk = max(8, _ENCODE_CHUNK_ELEMS // per_row)
+    if B <= chunk:
+        c0, c1 = bgv.encrypt(ctx, sk, slots, key)
+        return Encoding(ctx, c0, c1, 0)
+    # pad to a whole number of chunks: one compiled kernel, reused; padded
+    # rows are discarded after (their randomness is never observed)
+    import jax
+
+    B_pad = -(-B // chunk) * chunk
+    if B_pad != B:
+        slots = jnp.pad(
+            slots, [(0, B_pad - B)] + [(0, 0)] * (slots.ndim - 1)
+        )
+    c0s, c1s = [], []
+    for i in range(B_pad // chunk):
+        c0, c1 = bgv.encrypt(
+            ctx, sk, slots[i * chunk : (i + 1) * chunk],
+            jax.random.fold_in(key, i),
+        )
+        c0s.append(c0)
+        c1s.append(c1)
+    c0 = jnp.concatenate(c0s, axis=0)[:B]
+    c1 = jnp.concatenate(c1s, axis=0)[:B]
     return Encoding(ctx, c0, c1, 0)
 
 

@@ -54,6 +54,39 @@ class OuterBGV:
         c0 = -(a * self.s) + RingElem.scalar(ctx, self.T) * e + m
         return c0, a
 
+    def encrypt_batch(self, m_coeffs: np.ndarray) -> tuple[RingElem, RingElem]:
+        """Encrypt B plaintexts at once: [B, N] integers < T ->
+        (c0, c1) RingElem batches [B, L, N].
+
+        One batched NTT + one fused arithmetic dispatch instead of B
+        per-element pipelines — the r4 logreg FHE-side leg paid ~47 ms per
+        encryption in per-element dispatches (the framework's own batched
+        encode does 64k rows/s); this is the batched analog of the
+        reference's omp-for encrypt loop (`seal_ring.tcc:336-357`).
+        Bit-decomposition of the randomness differs from sequential
+        `encrypt` calls (batch draws), but the distribution is identical.
+        """
+        ctx = self.ctx
+        m_coeffs = np.asarray(m_coeffs, dtype=np.int64)
+        B, N = m_coeffs.shape
+        assert N == ctx.N and (0 <= m_coeffs).all() and (m_coeffs < self.T).all()
+        ps = np.array(ctx.primes, dtype=np.int64)[None, :, None]  # [1, L, 1]
+        a_res = np.stack(
+            [
+                self.rng.integers(0, p, (B, N), dtype=np.int64)
+                for p in ctx.primes
+            ],
+            axis=1,
+        ).astype(np.uint32)  # [B, L, N]
+        e_int = self.rng.integers(-6, 7, size=(B, 1, N))
+        e_res = (e_int % ps).astype(np.uint32)
+        m_res = (m_coeffs[:, None, :] % ps).astype(np.uint32)
+        a = RingElem(ctx, jnp.asarray(a_res))
+        e = RingElem.from_coeffs(ctx, np.broadcast_to(e_res, (B, ctx.L, N)))
+        m = RingElem.from_coeffs(ctx, np.broadcast_to(m_res, (B, ctx.L, N)))
+        c0 = -(a * self.s) + RingElem.scalar(ctx, self.T) * e + m
+        return c0, a
+
     @staticmethod
     def multiply(ct1, ct2) -> tuple[RingElem, RingElem, RingElem]:
         """(z0, z1, z2) = (x0, x1) * (y0, y1) — no relinearization."""

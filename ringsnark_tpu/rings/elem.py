@@ -236,14 +236,26 @@ class RingElem:
 
     @staticmethod
     def stack(elems: list["RingElem"]) -> "RingElem":
-        """Stack a list into a batch, promoting scalars to a common slot axis."""
+        """Stack a list into a batch, promoting scalars to a common slot axis.
+
+        Hierarchical past 256 elements: one jnp.stack with thousands of
+        operands compiles (and dispatches through the relay) as a single
+        enormous concatenate — the wide-io circuits (in-circuit NTT: 4097
+        wires) paid seconds per prove/verify for it.  Grouped stacks +
+        one concatenate produce the identical array.
+        """
         assert elems
         ctx = elems[0].ctx
         n = max(e.res.shape[-1] for e in elems)
         arrs = [
             jnp.broadcast_to(e.res, (*e.res.shape[:-1], n)) for e in elems
         ]
-        return RingElem(ctx, jnp.stack(arrs))
+        if len(arrs) <= 256:
+            return RingElem(ctx, jnp.stack(arrs))
+        groups = [
+            jnp.stack(arrs[i : i + 256]) for i in range(0, len(arrs), 256)
+        ]
+        return RingElem(ctx, jnp.concatenate(groups, axis=0))
 
     def __getitem__(self, idx) -> "RingElem":
         return RingElem(self.ctx, self.res[idx])

@@ -138,3 +138,18 @@ def test_logreg_prove_verify_groth16():
     )
     proof = groth16.prover(kp.pk, pb.primary_input(), pb.auxiliary_input(), rng)
     assert groth16.verifier(kp.vk, pb.primary_input(), proof)
+
+
+def test_outer_bgv_encrypt_batch_roundtrip():
+    """Batched FHE-side encrypt decrypts to the plaintexts (models/fhe.py)."""
+    from ringsnark_tpu.models.fhe import OuterBGV
+    from ringsnark_tpu.rings.context import default_context
+
+    ring = default_context(L=2, N=16, order=1 << 8)
+    rng = np.random.default_rng(9)
+    fhe = OuterBGV(ring, log_t=8, rng=rng)
+    msgs = rng.integers(0, 1 << 8, size=(5, ring.N)).astype(np.int64)
+    c0, c1 = fhe.encrypt_batch(msgs)
+    for i in range(5):
+        got = fhe.decrypt((c0[i], c1[i]))
+        assert got == [int(v) for v in msgs[i]]
