@@ -6,16 +6,18 @@ constraint squaring-chain R1CS.  Two prover layouts:
 * unphased (default): seeded-CRS resident prover (snark/seeded.py) — the
   whole c0 CRS stays in HBM (one limb of 2^16 fits one chip).
 * --phased: the limb-phased, row-chunked streamed prover
-  (snark/streamed.py) — one CRS block resident at a time; any L fits one
-  chip, and warm timing is honest: the WHOLE setup+prove pipeline runs
-  twice (pass 2 is fully compiled — no per-chunk median estimators).
+  (snark/streamed.py).  Three passes: cold (compile), warm un-profiled
+  (the honest combined setup+prove wall — CRS encode and MACs interleave
+  per chunk, synced once per phase), warm profiled (per-chunk syncs give
+  the r4-comparable setup/prove split; each sync is a ~30-45 ms relay
+  round trip, n_profile_syncs bounds the inflation).
 
-CPU baseline: the native C++ (OpenMP) same-algorithm MAC, measured on a
-sample of slabs and scaled linearly — a LOWER bound for a full CPU prover
-(witness-map NTTs excluded).  Dense (Rq) rings additionally charge the
-per-term plaintext-to-inner-NTT transform the reference pays inside
-multiply_plain (`seal/seal_ring.tcc:509-548`), scaled by perfect thread
-parallelism (still a lower bound).
+CPU baselines: (a) extrapolated — the native C++ (OpenMP) same-algorithm
+MAC on a sample of slabs, scaled linearly (lower bound, witness map
+excluded; dense rings charge the reference's per-term plaintext-NTT);
+(b) --cpu-full — the MEASURED complete same-algorithm CPU prover
+(native/cpu_prover.py: witness-map NTTs bit-exact vs the JAX kernel +
+every MAC side x component x limb).
 
 Timing: the relay's block_until_ready can return before the device
 finishes; every timed section ends by fetching a small result slice.
@@ -58,6 +60,10 @@ def main():
                     help="limb-phased streamed prover (any L on one chip)")
     ap.add_argument("--phase-chunk", type=int, default=1 << 16,
                     help="phased mode: target CRS rows resident at a time")
+    ap.add_argument("--settle", type=int, default=10,
+                    help="seconds between phased passes (relay frees land "
+                         "late; Rq-scale runs need ~60-120 or the next "
+                         "pass stalls on allocation)")
     ap.add_argument("--throttle", type=int, default=2,
                     help="phased mode: chunks in flight before a memory-"
                          "throttling sync (1 = tightest, for Rq shapes)")
@@ -230,7 +236,7 @@ def main():
         for p_i in range(max(2, args.passes)):
             if proof is not None:
                 del proof, vk
-                time.sleep(10)  # relay frees are async
+                time.sleep(args.settle)  # relay frees are async
             profile = p_i >= 2
             rec = st.StreamRecord(sync=True, profile=profile)
             t0 = time.perf_counter()

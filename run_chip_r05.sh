@@ -39,7 +39,13 @@ run cpu_zq14       3600 python bench_prover.py --log-m 14 --L 2 --margin 6 \
       --phased --cpu-full --out chip_logs/r05_cpu.json
 run cpu_rq14       7200 python bench_prover.py --ring rq --N 8192 \
       --n-inner 16384 --log-m 14 --phased --phase-chunk 4096 --slab 1024 \
-      --throttle 1 --cpu-full --out chip_logs/r05_cpu.json
+      --settle 90 --throttle 1 --cpu-full --out chip_logs/r05_cpu.json
 run cpu_zq18       7200 python bench_prover.py --log-m 18 --L 3 --margin 4 \
       --phased --cpu-full --out chip_logs/r05_cpu.json
+# rq14 L2 re-run with a longer settle (the first r5 run's warm pass
+# stalled 134 s on post-cold-pass allocation; pass 2 showed ~19 s true)
+run rq14L2b_r05   7200 python bench_prover.py --ring rq --N 8192 \
+      --n-inner 16384 --log-m 14 --L 2 --phased --phase-chunk 4096 \
+      --slab 1024 --throttle 1 --settle 120 --skip-cpu \
+      --out chip_logs/r05_rq.json
 echo "[campaign] done"
