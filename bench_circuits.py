@@ -23,6 +23,9 @@ Usage: python bench_circuits.py [--preset reference] [--circuit NAME]
 """
 
 import argparse
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
 import json
 import sys
 import time

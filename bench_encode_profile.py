@@ -12,6 +12,9 @@ line; drives VERDICT r3 weak #5 (setup slower than prove, unexamined).
 """
 
 import argparse
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
 import json
 import sys
 import time

@@ -192,3 +192,94 @@ print(f"[pallas]  {dt/REP*1e3:.2f} ms/batch of {BATCH} "
       f"({dt/REP/BATCH*1e6:.1f} us/item)", file=sys.stderr, flush=True)
 nttm.set_backend(prev)
 print("[done]", file=sys.stderr, flush=True)
+
+
+# ---- round 2: matched slope methodology, negacyclic variant ----------------
+# psi twist folds free into the four-step tables: x[n]*psi^n with
+# n = n1*N2+n2 -> psi^{n1*N2} into dft1's n1 columns, psi^{n2} into the
+# k1-twiddle's n2 columns.
+dft1n = np.zeros((L, N1, N1), dtype=np.uint32)
+twn = np.zeros((L, N1, N2), dtype=np.uint32)
+for l, p in enumerate(primes):
+    w = root_of_unity(p, N)
+    psi_c = root_of_unity(p, 2 * N)
+    if pow(psi_c, 2, p) != w:
+        # re-root so psi^2 == w (same fix ops/ntt.get_plan applies)
+        from ringsnark_tpu.ops.ntt import _dlog_pow2
+        k = _dlog_pow2(pow(psi_c, 2, p), w, p, N)
+        psi_c = pow(psi_c, k, p)
+    n1 = np.arange(N1)
+    psi_n1N2 = np.array([pow(psi_c, int(v) * N2, p) for v in n1],
+                        dtype=np.uint64)
+    dft1n[l] = (dft1[l].astype(np.uint64) * psi_n1N2[None, :]) % p
+    n2 = np.arange(N2)
+    psi_n2 = np.array([pow(psi_c, int(v), p) for v in n2], dtype=np.uint64)
+    twn[l] = (tw[l].astype(np.uint64) * psi_n2[None, :]) % p
+
+dft1n_bytes = np.stack(
+    [((dft1n >> (8 * k)) & 0xFF).astype(np.uint8) for k in range(4)], axis=1
+)
+
+
+@jax.jit
+def fourstep_nega(x):  # negacyclic forward, natural order out
+    B = x.shape[0]
+    outs = []
+    for l in range(L):
+        p, mu, b = ps[l], mus[l], bits[l]
+        pw2s = pw2_tab[l]
+        X = x[:, l, :].reshape(B, N1, N2)
+        Xm = jnp.transpose(X, (1, 2, 0)).reshape(N1, N2 * B)
+        Y = mod_matmul_mxu(dft1n_bytes[l], Xm, p, mu, b, pw2s)
+        Y = Y.reshape(N1, N2, B)
+        Y = mul_mod(Y, jnp.asarray(twn[l])[:, :, None], p, mu, b)
+        Ym = jnp.transpose(Y, (1, 0, 2)).reshape(N2, N1 * B)
+        Z = mod_matmul_mxu(dft2_bytes[l], Ym, p, mu, b, pw2s)
+        Z = Z.reshape(N2, N1, B)
+        out = jnp.transpose(Z, (2, 1, 0)).reshape(B, N)
+        outs.append(out[:, perm_nat])
+    return jnp.stack(outs, axis=1)
+
+
+nplan = nttm.get_plan(primes, N, negacyclic=True)
+ref_rev = np.asarray(nttm.negacyclic_ntt_rev(x[:1], nplan))
+ref_nat = np.zeros_like(ref_rev)
+ref_nat[:, :, br] = ref_rev
+got = np.asarray(fourstep_nega(x[:1]))
+print(f"[check] negacyclic fourstep == reference: "
+      f"{np.array_equal(got, ref_nat)}", file=sys.stderr, flush=True)
+
+
+def slope(name, apply_fn):
+    def chain(k):
+        @jax.jit
+        def f(v):
+            for _ in range(k):
+                v = apply_fn(v)
+            return v
+        return f
+    times = {}
+    for k in (2, 8):
+        f = chain(k)
+        o = f(x)
+        np.asarray(jnp.ravel(o)[:4])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = f(x)
+            np.asarray(jnp.ravel(o)[:4])
+            ts.append(time.perf_counter() - t0)
+        times[k] = min(ts)
+    marg = (times[8] - times[2]) / 6
+    print(f"[slope] {name:16s} K2={times[2]*1e3:7.1f} ms "
+          f"K8={times[8]*1e3:7.1f} ms  marginal={marg*1e3:7.2f} ms/batch "
+          f"({marg/BATCH*1e6:6.1f} us/item)", file=sys.stderr, flush=True)
+
+
+slope("mxu-cyclic", fourstep)
+slope("mxu-negacyclic", fourstep_nega)
+prev = nttm.set_backend("pallas")
+slope("pallas-cyclic", lambda v: nttm.cyclic_ntt_rev(v, plan))
+slope("pallas-nega", lambda v: nttm.negacyclic_ntt_rev(v, nplan))
+nttm.set_backend(prev)
+print("[done2]", file=sys.stderr, flush=True)

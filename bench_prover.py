@@ -27,6 +27,9 @@ Usage: python bench_prover.py [--log-m 16] [--ring zq|rq] [--n-inner 4096]
 """
 
 import argparse
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
 import json
 import sys
 import time

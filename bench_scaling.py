@@ -24,6 +24,9 @@ over 2 OS processes with Gloo).  The 'coeff' exchanges stay intra-host.
 import json
 import os
 import sys
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
 import time
 
 import numpy as np
