@@ -19,3 +19,4 @@ from .sharded import (  # noqa: F401
     rinocchio_prove_sharded,
 )
 from .ntt_sharded import make_sharded_ntt, sharded_ntt  # noqa: F401
+from .stream_sharded import stream_chunk_ip_sharded  # noqa: F401

@@ -310,26 +310,6 @@ def _seeded_mac_kernel(
     ptsr = tuple(p.reshape(nslab, slab, *p.shape[1:]) for p in pts)
     p, mu, b = ctx.inner_consts(0)
 
-    def step_u64(accs, xs):
-        i, c0s = xs[0], xs[1]
-        pt_slabs = xs[2:]
-        c1s = _sample_uniform(ctx, _slab_c1_key(key, i), (slab,))
-        out = []
-        for (a0, a1), pt_slots in zip(accs, pt_slabs):
-            if mode == "dense":
-                ptntt = pt_slots  # already [S, L, L', N'] operand form
-            else:
-                ptntt = plain_to_inner_ntt(ctx, pt_slots)  # [S, L, L', N']
-            pr0 = mul_mod(c0s, ptntt, p, mu, b)
-            pr1 = mul_mod(c1s, ptntt, p, mu, b)
-            out.append(
-                (
-                    a0 + jnp.sum(pr0.astype(jnp.uint64), axis=0),
-                    a1 + jnp.sum(pr1.astype(jnp.uint64), axis=0),
-                )
-            )
-        return tuple(out), None
-
     def step_mxu(accs, xs):
         i, c0s = xs[0], xs[1]
         pt_slabs = xs[2:]
@@ -352,9 +332,7 @@ def _seeded_mac_kernel(
         return accs
     # "u64" (generic slot input) and "dense" (pre-NTT'd operand input) share
     # the same scan body modulo the per-term transform
-    zero = jnp.zeros((ctx.L, Lp, ctx.n_inner), dtype=jnp.uint64)
-    init = tuple((zero, zero) for _ in range(n_pts))
-    accs, _ = jax.lax.scan(step_u64, init, (jnp.arange(nslab), c0r) + ptsr)
+    accs = _mac_accs_u64(ctx, c0, key, pts, slab, mode)
     return tuple(
         (
             barrett_reduce_u64(a0, p, mu, b),
@@ -362,6 +340,53 @@ def _seeded_mac_kernel(
         )
         for a0, a1 in accs
     )
+
+
+def _mac_accs_u64(ctx, c0, key, pts, slab: int, mode: str, slab0=None,
+                  vary_axes=None):
+    """The u64-lazy scan accumulators BEFORE the final Barrett.
+
+    Exposed separately so the data-sharded streamed path can psum the exact
+    u64 partial sums across devices and reduce once (bit-identical to one
+    device for total batches < 2^33).  `slab0` (traced scalar, default 0)
+    offsets the PRNG slab index so a device holding rows [lo, hi) of the
+    global batch regenerates exactly the same c1 slabs as the unsharded
+    kernel (DESIGN.md §5 'data' axis).
+    """
+    B_pad = c0.shape[0]
+    nslab = B_pad // slab
+    Lp = ctx.L_inner
+    c0r = c0.reshape(nslab, slab, *c0.shape[1:])
+    ptsr = tuple(pt.reshape(nslab, slab, *pt.shape[1:]) for pt in pts)
+    p, mu, b = ctx.inner_consts(0)
+    base = 0 if slab0 is None else slab0
+
+    def step_u64(accs, xs):
+        i, c0s = xs[0], xs[1]
+        pt_slabs = xs[2:]
+        c1s = _sample_uniform(ctx, _slab_c1_key(key, base + i), (slab,))
+        out = []
+        for (a0, a1), pt_slots in zip(accs, pt_slabs):
+            if mode == "dense":
+                ptntt = pt_slots  # already [S, L, L', N'] operand form
+            else:
+                ptntt = plain_to_inner_ntt(ctx, pt_slots)  # [S, L, L', N']
+            pr0 = mul_mod(c0s, ptntt, p, mu, b)
+            pr1 = mul_mod(c1s, ptntt, p, mu, b)
+            out.append(
+                (
+                    a0 + jnp.sum(pr0.astype(jnp.uint64), axis=0),
+                    a1 + jnp.sum(pr1.astype(jnp.uint64), axis=0),
+                )
+            )
+        return tuple(out), None
+
+    zero = jnp.zeros((ctx.L, Lp, ctx.n_inner), dtype=jnp.uint64)
+    if vary_axes:  # under shard_map the carry must be device-varying
+        zero = jax.lax.pcast(zero, vary_axes, to="varying")
+    init = tuple((zero, zero) for _ in range(len(pts)))
+    accs, _ = jax.lax.scan(step_u64, init, (jnp.arange(nslab), c0r) + ptsr)
+    return accs
 
 
 @partial(jax.jit, static_argnames=("ctx",))

@@ -122,3 +122,48 @@ def test_sharded_rinocchio_matches_single_chip(env, n, limb):
             continue
         assert e1 == e2, f"proof element {name} differs at mesh {n}x{limb}"
     assert rinocchio.verifier(kpr.vk, pb.primary_input(), proof_sharded)
+
+
+def test_stream_chunk_ip_sharded_bitexact():
+    """Data-sharded streamed chunk (encode + MAC + psum) is bit-identical
+    to the single-device seeded kernels (parallel/stream_sharded.py) —
+    the Rq 2^16+/multi-chip schedule's unit of work, for both rings."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from ringsnark_tpu.parallel import stream_chunk_ip_sharded
+    from ringsnark_tpu.rings.context import default_context
+    from ringsnark_tpu.rings.elem import RingElem
+    from ringsnark_tpu.encoding import EncodingContext, keygen
+    from ringsnark_tpu.ops.primes import find_ntt_primes
+    from ringsnark_tpu.snark import seeded as sd
+
+    for N in (1, 8):
+        ring = default_context(L=1, N=N, order=1 << 10)
+        inner, below = [], 1 << 31
+        while len(inner) < 2:
+            c = find_ntt_primes(1, 128, below=below)[0]
+            below = c
+            if c not in ring.primes:
+                inner.append(c)
+        ectx = EncodingContext(ring=ring, n_inner=64,
+                               inner_primes=tuple(inner))
+        rng = np.random.default_rng(17)
+        _, sk = keygen(ectx, rng)
+        chunk, slab, D = 64, 8, 4
+        rows = jnp.asarray(rng.integers(
+            0, ring.primes[0], (chunk, 1, N), dtype=np.int64
+        ).astype(np.uint32))
+        pts = [jnp.asarray(rng.integers(
+            0, ring.primes[0], (chunk, 1, N), dtype=np.int64
+        ).astype(np.uint32)) for _ in range(2)]
+        key = jax.random.key(9, impl="threefry2x32")
+
+        mesh = Mesh(np.array(jax.devices()[:D]), ("data",))
+        got = stream_chunk_ip_sharded(mesh, ectx, sk, rows, pts, key, slab)
+
+        senc = sd.encode_seeded(ectx, sk, RingElem(ring, rows), key, slab)
+        want = sd.seeded_inner_product(senc, pts, use_modswitch=False)
+        for g, w in zip(got, want):
+            assert (np.asarray(g.c0) == np.asarray(w.c0)).all(), f"N={N}"
+            assert (np.asarray(g.c1) == np.asarray(w.c1)).all(), f"N={N}"
