@@ -83,7 +83,14 @@ def plain_to_inner_ntt(ctx: EncodingContext, slots, level: int = 0):
 
 
 def _sample_uniform(ctx: EncodingContext, key, batch_shape):
-    """Uniform element of R_Q in NTT form: independent uniform residues."""
+    """Uniform element of R_Q in NTT form: independent uniform residues.
+
+    jax.random.randint draws 64 bits per uint32 output and reduces the
+    double-width value mod the span, so the residue bias is ~Q/2^64 ≈ 2^-33
+    per coefficient — the standard negligible-bias regime (SEAL's rejection
+    sampler is exactly uniform; the distance is cryptographically
+    irrelevant for the public c1 = a component).
+    """
     Qs = ctx.inner_primes
     keys = jax.random.split(key, len(Qs))
     cols = [
