@@ -172,6 +172,15 @@ def _assignment_batches(ctx, primary, auxiliary):
     full = RingElem.stack([one] + list(primary) + list(auxiliary))
     io = RingElem.stack([one] + list(primary) + [zero] * na)
     mid = RingElem.stack([zero] * (1 + np_) + list(auxiliary))
+    # common slot dim: an all-scalar batch (e.g. mid with no aux wires)
+    # must match the dense batches, or the slot-chunked witness map slices
+    # it to zero-width chunks past the first
+    n = max(full.res.shape[-1], io.res.shape[-1], mid.res.shape[-1])
+    if n > 1:
+        full, io, mid = (
+            RingElem(ctx, jnp.broadcast_to(b.res, (*b.res.shape[:-1], n)))
+            for b in (full, io, mid)
+        )
     return full, io, mid
 
 
