@@ -186,31 +186,52 @@ void rn_cyclic_intt(u32* data, u64 batch, u32 M, u32 p, u32 w) {
 }
 
 // ---- fused ciphertext-plaintext inner product ----------------------------
-// acc[j] += sum_b ct[b][j] * pt[b][j]  (one limb; lazy u128 accumulation)
+// acc[j] += sum_b ct[b][j] * pt[b][j]  (one limb; lazy u128 accumulation).
+// Loop order: b outer, j inner over a thread-owned contiguous j-range —
+// ct rows stream sequentially (prefetch-friendly) and the u128
+// accumulators stay cache-resident.  The j-outer form (r4/r5-early) paid a
+// 16 KB stride per access and ran ~4x slower — a weaker CPU baseline would
+// flatter the TPU ratios, so the strongest reasonable form is used.
 void rn_ip_accumulate(const u32* ct, const u32* pt, u32* acc, u64 batch,
                       u64 n, u32 p) {
-#pragma omp parallel for schedule(static)
-  for (u64 j = 0; j < n; j++) {
-    u128 s = acc[j];
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    u64 nt = (u64)omp_get_num_threads(), tid = (u64)omp_get_thread_num();
+#else
+    u64 nt = 1, tid = 0;
+#endif
+    u64 j0 = n * tid / nt, j1 = n * (tid + 1) / nt;
+    std::vector<u128> s(acc + j0, acc + j1);
     for (u64 b = 0; b < batch; b++) {
-      s += (u64)ct[b * n + j] * pt[b * n + j];
+      const u32* ctr = ct + b * n;
+      const u32* ptr = pt + b * n;
+      for (u64 j = j0; j < j1; j++) s[j - j0] += (u64)ctr[j] * ptr[j];
     }
-    acc[j] = (u32)(s % p);
+    for (u64 j = j0; j < j1; j++) acc[j] = (u32)(s[j - j0] % p);
   }
 }
 
 // scalar-plaintext MAC (Z_q rings): acc[j] += sum_b ct[b][j] * w[b]
 // — the reference's multiply_plain-by-constant accumulate
-// (`seal_int/seal_ring.tcc:129-201`).
+// (`seal_int/seal_ring.tcc:129-201`); same loop order as above.
 void rn_ip_accumulate_scalar(const u32* ct, const u32* w, u32* acc, u64 batch,
                              u64 n, u32 p) {
-#pragma omp parallel for schedule(static)
-  for (u64 j = 0; j < n; j++) {
-    u128 s = acc[j];
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    u64 nt = (u64)omp_get_num_threads(), tid = (u64)omp_get_thread_num();
+#else
+    u64 nt = 1, tid = 0;
+#endif
+    u64 j0 = n * tid / nt, j1 = n * (tid + 1) / nt;
+    std::vector<u128> s(acc + j0, acc + j1);
     for (u64 b = 0; b < batch; b++) {
-      s += (u64)ct[b * n + j] * w[b];
+      const u32* ctr = ct + b * n;
+      u64 wb = w[b];
+      for (u64 j = j0; j < j1; j++) s[j - j0] += (u64)ctr[j] * wb;
     }
-    acc[j] = (u32)(s % p);
+    for (u64 j = j0; j < j1; j++) acc[j] = (u32)(s[j - j0] % p);
   }
 }
 

@@ -19,3 +19,10 @@ run logreg_r05b    7200 python bench_circuits.py --preset reference \
       --circuit logreg --streamed --slab 512 --out BENCH_CIRCUITS_r05.json
 run ntt_mxu_r05b   1800 python bench_probe_ntt_mxu.py
 echo "[campaign-b] done"
+
+# retry: rq14 L=2 with long settle (first attempt died on a transient
+# relay remote-compile transport error)
+run rq14L2c       7200 python bench_prover.py --ring rq --N 8192 \
+      --n-inner 16384 --log-m 14 --L 2 --phased --phase-chunk 4096 \
+      --slab 1024 --throttle 1 --settle 120 --cpu-full \
+      --out chip_logs/r05_rq.json
