@@ -26,3 +26,7 @@ run rq14L2c       7200 python bench_prover.py --ring rq --N 8192 \
       --n-inner 16384 --log-m 14 --L 2 --phased --phase-chunk 4096 \
       --slab 1024 --throttle 1 --settle 120 --cpu-full \
       --out chip_logs/r05_rq.json
+
+# zq16 L1 resident re-run (setup measured 2.45 s vs r4's 0.93 — variance?)
+run zq16L1b_r05   3600 python bench_prover.py --log-m 16 --L 1 --margin 6 \
+      --settle 30 --skip-cpu --out chip_logs/r05_zq16.json
