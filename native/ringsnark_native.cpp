@@ -83,10 +83,26 @@ void rn_vec_addmod(const u32* a, const u32* b, u32* out, u64 n, u32 p) {
 // out), inverse = DIT (bit-reversed in, natural out, scaled by M^-1).
 // w = primitive M-th root, psi = primitive 2M-th root with psi^2 = w.
 
+// Shoup premultiplied twiddles: for fixed w, w' = floor(w*2^32/p) gives
+//   hi = (x*w') >> 32;  r = x*w - hi*p  (all u32/u64 lo ops), r in [0, 2p)
+// — one 64-bit multiply + one 32-bit multiply per butterfly instead of a
+// u64 `%` (~20-40 cycles).  This is the same butterfly SEAL/polytools run
+// on the host, so the CPU baseline is not artificially slow.
+static inline u32 shoup_mul(u32 x, u32 w, u32 wsh, u32 p) {
+  u32 hi = (u32)(((u64)x * wsh) >> 32);
+  u32 r = x * w - hi * p;  // mod 2^32; true value in [0, 2p)
+  return r >= p ? r - p : r;
+}
+
+static inline u32 shoup_pre(u32 w, u32 p) {
+  return (u32)((((u64)w) << 32) / p);
+}
+
 struct NttTables {
   u32 p;
   u32 M;
   std::vector<u32> w_pows, winv_pows, psi_pows, psiinv_scaled;
+  std::vector<u32> w_sh, winv_sh, psi_sh, psiinv_scaled_sh;
   u32 minv;
 };
 
@@ -95,22 +111,34 @@ static void make_tables(NttTables& t, u32 p, u32 M, u32 w, u32 psi) {
   t.M = M;
   t.w_pows.resize(M);
   t.winv_pows.resize(M);
+  t.w_sh.resize(M);
+  t.winv_sh.resize(M);
   u32 winv = powmod(w, p - 2, p);
   t.w_pows[0] = t.winv_pows[0] = 1;
   for (u32 i = 1; i < M; i++) {
     t.w_pows[i] = mulmod(t.w_pows[i - 1], w, p);
     t.winv_pows[i] = mulmod(t.winv_pows[i - 1], winv, p);
   }
+  for (u32 i = 0; i < M; i++) {
+    t.w_sh[i] = shoup_pre(t.w_pows[i], p);
+    t.winv_sh[i] = shoup_pre(t.winv_pows[i], p);
+  }
   t.minv = powmod(M, p - 2, p);
   if (psi) {
     t.psi_pows.resize(M);
     t.psiinv_scaled.resize(M);
+    t.psi_sh.resize(M);
+    t.psiinv_scaled_sh.resize(M);
     u32 psiinv = powmod(psi, p - 2, p);
     t.psi_pows[0] = 1;
     t.psiinv_scaled[0] = t.minv;
     for (u32 i = 1; i < M; i++) {
       t.psi_pows[i] = mulmod(t.psi_pows[i - 1], psi, p);
       t.psiinv_scaled[i] = mulmod(t.psiinv_scaled[i - 1], psiinv, p);
+    }
+    for (u32 i = 0; i < M; i++) {
+      t.psi_sh[i] = shoup_pre(t.psi_pows[i], p);
+      t.psiinv_scaled_sh[i] = shoup_pre(t.psiinv_scaled[i], p);
     }
   }
 }
@@ -120,9 +148,11 @@ static void dif_forward(u32* x, const NttTables& t) {
   for (u32 d = M >> 1, stride = 1; d >= 1; d >>= 1, stride <<= 1) {
     for (u32 blk = 0; blk < M; blk += 2 * d) {
       for (u32 i = 0; i < d; i++) {
+        u64 ti = (u64)i * stride;
         u32 a = x[blk + i], b = x[blk + i + d];
         x[blk + i] = addmod(a, b, p);
-        x[blk + i + d] = mulmod(submod(a, b, p), t.w_pows[(u64)i * stride], p);
+        x[blk + i + d] =
+            shoup_mul(submod(a, b, p), t.w_pows[ti], t.w_sh[ti], p);
       }
     }
   }
@@ -133,8 +163,9 @@ static void dit_inverse(u32* x, const NttTables& t) {
   for (u32 d = 1, stride = M >> 1; d <= M >> 1; d <<= 1, stride >>= 1) {
     for (u32 blk = 0; blk < M; blk += 2 * d) {
       for (u32 i = 0; i < d; i++) {
+        u64 ti = (u64)i * stride;
         u32 a = x[blk + i];
-        u32 b = mulmod(x[blk + i + d], t.winv_pows[(u64)i * stride], p);
+        u32 b = shoup_mul(x[blk + i + d], t.winv_pows[ti], t.winv_sh[ti], p);
         x[blk + i] = addmod(a, b, p);
         x[blk + i + d] = submod(a, b, p);
       }
@@ -149,7 +180,8 @@ void rn_negacyclic_ntt(u32* data, u64 batch, u32 M, u32 p, u32 w, u32 psi) {
 #pragma omp parallel for schedule(static)
   for (u64 b = 0; b < batch; b++) {
     u32* x = data + b * M;
-    for (u32 i = 0; i < M; i++) x[i] = mulmod(x[i], t.psi_pows[i], p);
+    for (u32 i = 0; i < M; i++)
+      x[i] = shoup_mul(x[i], t.psi_pows[i], t.psi_sh[i], p);
     dif_forward(x, t);
   }
 }
@@ -162,7 +194,8 @@ void rn_negacyclic_intt(u32* data, u64 batch, u32 M, u32 p, u32 w, u32 psi) {
   for (u64 b = 0; b < batch; b++) {
     u32* x = data + b * M;
     dit_inverse(x, t);
-    for (u32 i = 0; i < M; i++) x[i] = mulmod(x[i], t.psiinv_scaled[i], p);
+    for (u32 i = 0; i < M; i++)
+      x[i] = shoup_mul(x[i], t.psiinv_scaled[i], t.psiinv_scaled_sh[i], p);
   }
 }
 
@@ -177,11 +210,12 @@ void rn_cyclic_ntt(u32* data, u64 batch, u32 M, u32 p, u32 w) {
 void rn_cyclic_intt(u32* data, u64 batch, u32 M, u32 p, u32 w) {
   NttTables t;
   make_tables(t, p, M, w, 0);
+  const u32 minv_sh = shoup_pre(t.minv, p);
 #pragma omp parallel for schedule(static)
   for (u64 b = 0; b < batch; b++) {
     u32* x = data + b * M;
     dit_inverse(x, t);
-    for (u32 i = 0; i < M; i++) x[i] = mulmod(x[i], t.minv, p);
+    for (u32 i = 0; i < M; i++) x[i] = shoup_mul(x[i], t.minv, minv_sh, p);
   }
 }
 
@@ -265,6 +299,8 @@ void rn_g16_witness_map(const int32_t* rowsA, const int32_t* colsA,
   NttTables t, t2;
   make_tables(t, p, M, w, 0);
   make_tables(t2, p, 2 * M, w2, 0);
+  const u32 minv_sh = shoup_pre(t.minv, p);
+  const u32 minv2_sh = shoup_pre(t2.minv, p);
 
 #pragma omp parallel
   {
@@ -281,7 +317,7 @@ void rn_g16_witness_map(const int32_t* rowsA, const int32_t* colsA,
       }
       dit_inverse(ev.data(), t);
       for (u32 i = 0; i < M; i++) {
-        u32 c = mulmod(ev[i], t.minv, p);
+        u32 c = shoup_mul(ev[i], t.minv, minv_sh, p);
         a_full[(u64)i * S + s] = c;
         af[i] = c;
       }
@@ -296,7 +332,7 @@ void rn_g16_witness_map(const int32_t* rowsA, const int32_t* colsA,
       }
       dit_inverse(ev.data(), t);
       for (u32 i = 0; i < M; i++) {
-        u32 c = mulmod(ev[i], t.minv, p);
+        u32 c = shoup_mul(ev[i], t.minv, minv_sh, p);
         b_full[(u64)i * S + s] = c;
         bf[i] = c;
       }
@@ -308,7 +344,7 @@ void rn_g16_witness_map(const int32_t* rowsA, const int32_t* colsA,
       for (u64 i = 0; i < 2 * (u64)M; i++) af[i] = mulmod(af[i], bf[i], p);
       dit_inverse(af.data(), t2);
       for (u32 i = 0; i < M; i++)
-        Hout[(u64)i * S + s] = mulmod(af[M + i], t2.minv, p);
+        Hout[(u64)i * S + s] = shoup_mul(af[M + i], t2.minv, minv2_sh, p);
       Hout[(u64)M * S + s] = 0;  // + d1*d2*X^M with d = 0
     }
   }
