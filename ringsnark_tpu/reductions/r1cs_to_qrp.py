@@ -265,9 +265,26 @@ def witness_map_kernel_chunked(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
     def dsl(d, lo):
         return d if d.shape[-1] == 1 else d[..., lo:lo + slot_chunk]
 
+    def comp_slice(lo):
+        # dense per-slot constraint coefficients (e.g. the in-circuit-NTT
+        # LC, whose coefficients are full ring elements) chunk alongside
+        # the assignments; scalar (nc == 1) coefficients broadcast
+        if all(c.shape[-1] == 1 for c in comp.coeffs):
+            return comp
+        return CompiledR1CS(
+            ctx=comp.ctx,
+            num_constraints=comp.num_constraints,
+            num_variables=comp.num_variables,
+            primary_input_size=comp.primary_input_size,
+            rows=comp.rows,
+            cols=comp.cols,
+            coeffs=tuple(dsl(c, lo) for c in comp.coeffs),
+        )
+
     parts = [
         list(_witness_map_kernel(
-            comp, z_full[..., lo:lo + slot_chunk], z_io[..., lo:lo + slot_chunk],
+            comp_slice(lo), z_full[..., lo:lo + slot_chunk],
+            z_io[..., lo:lo + slot_chunk],
             z_mid[..., lo:lo + slot_chunk], dsl(d1r, lo), dsl(d2r, lo),
             dsl(d3r, lo), domain, outputs,
         ))
