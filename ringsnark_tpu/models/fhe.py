@@ -54,36 +54,58 @@ class OuterBGV:
         c0 = -(a * self.s) + RingElem.scalar(ctx, self.T) * e + m
         return c0, a
 
-    def encrypt_batch(self, m_coeffs: np.ndarray) -> tuple[RingElem, RingElem]:
+    def encrypt_batch(self, m_coeffs, key=None) -> tuple[RingElem, RingElem]:
         """Encrypt B plaintexts at once: [B, N] integers < T ->
         (c0, c1) RingElem batches [B, L, N].
 
         One batched NTT + one fused arithmetic dispatch instead of B
         per-element pipelines — the r4 logreg FHE-side leg paid ~47 ms per
-        encryption in per-element dispatches (the framework's own batched
-        encode does 64k rows/s); this is the batched analog of the
-        reference's omp-for encrypt loop (`seal_ring.tcc:336-357`).
-        Bit-decomposition of the randomness differs from sequential
-        `encrypt` calls (batch draws), but the distribution is identical.
+        encryption in per-element dispatches; this is the batched analog of
+        the reference's omp-for encrypt loop (`seal_ring.tcc:336-357`).
+        With `key` (a jax PRNG key) the a/e randomness is sampled ON
+        DEVICE — host-generated randomness moves at ~0.3 MB/s through the
+        axon relay pipe and dominated the first batched version (16.7 s
+        for 512 cts of which ~16 s was the a-transfer).  `m_coeffs` may be
+        a device array.  The randomness stream differs from sequential
+        `encrypt` calls either way; the distribution is identical.
         """
+        import jax
+
         ctx = self.ctx
-        m_coeffs = np.asarray(m_coeffs, dtype=np.int64)
+        m_coeffs = jnp.asarray(m_coeffs, dtype=jnp.int64)
         B, N = m_coeffs.shape
-        assert N == ctx.N and (0 <= m_coeffs).all() and (m_coeffs < self.T).all()
-        ps = np.array(ctx.primes, dtype=np.int64)[None, :, None]  # [1, L, 1]
-        a_res = np.stack(
-            [
-                self.rng.integers(0, p, (B, N), dtype=np.int64)
-                for p in ctx.primes
-            ],
-            axis=1,
-        ).astype(np.uint32)  # [B, L, N]
-        e_int = self.rng.integers(-6, 7, size=(B, 1, N))
-        e_res = (e_int % ps).astype(np.uint32)
-        m_res = (m_coeffs[:, None, :] % ps).astype(np.uint32)
+        assert N == ctx.N
+        ps_np = np.array(ctx.primes, dtype=np.int64)[None, :, None]  # [1,L,1]
+        if key is None:
+            a_res = np.stack(
+                [
+                    self.rng.integers(0, p, (B, N), dtype=np.int64)
+                    for p in ctx.primes
+                ],
+                axis=1,
+            ).astype(np.uint32)  # [B, L, N]
+            e_int = jnp.asarray(self.rng.integers(-6, 7, size=(B, 1, N)))
+        else:
+            ka, ke = jax.random.split(key)
+            cols = [
+                jax.random.randint(k, (B, N), 0, int(p), dtype=jnp.uint32)
+                for k, p in zip(
+                    jax.random.split(ka, ctx.L), ctx.primes
+                )
+            ]
+            a_res = jnp.stack(cols, axis=1)
+            e_int = jax.random.randint(ke, (B, 1, N), -6, 7, dtype=jnp.int32)
+        e_res = jnp.asarray(
+            (e_int.astype(jnp.int64) % ps_np), dtype=jnp.uint32
+        )
+        m_res = (m_coeffs[:, None, :] % ps_np).astype(jnp.uint32)
         a = RingElem(ctx, jnp.asarray(a_res))
-        e = RingElem.from_coeffs(ctx, np.broadcast_to(e_res, (B, ctx.L, N)))
-        m = RingElem.from_coeffs(ctx, np.broadcast_to(m_res, (B, ctx.L, N)))
+        e = RingElem.from_coeffs(
+            ctx, jnp.broadcast_to(e_res, (B, ctx.L, N))
+        )
+        m = RingElem.from_coeffs(
+            ctx, jnp.broadcast_to(m_res, (B, ctx.L, N))
+        )
         c0 = -(a * self.s) + RingElem.scalar(ctx, self.T) * e + m
         return c0, a
 

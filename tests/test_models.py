@@ -153,3 +153,9 @@ def test_outer_bgv_encrypt_batch_roundtrip():
     for i in range(5):
         got = fhe.decrypt((c0[i], c1[i]))
         assert got == [int(v) for v in msgs[i]]
+    # device-side randomness path (key=...)
+    import jax
+
+    c0k, c1k = fhe.encrypt_batch(msgs, key=jax.random.key(3, impl="threefry2x32"))
+    for i in range(5):
+        assert fhe.decrypt((c0k[i], c1k[i])) == [int(v) for v in msgs[i]]
