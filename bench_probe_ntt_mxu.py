@@ -283,3 +283,45 @@ slope("pallas-cyclic", lambda v: nttm.cyclic_ntt_rev(v, plan))
 slope("pallas-nega", lambda v: nttm.negacyclic_ntt_rev(v, nplan))
 nttm.set_backend(prev)
 print("[done2]", file=sys.stderr, flush=True)
+
+
+# ---- round 3: bench.py's exact gated methodology (self-dependent
+# dispatch chains defeat relay result-caching; slope ratio must be ~1) ----
+def gated(name, apply_fn, REP_=10):
+    @jax.jit
+    def chain(v):
+        for _ in range(REP_):
+            v = apply_fn(v)
+        return v
+
+    def _sync2(v):
+        return np.asarray(jax.device_get(jnp.ravel(v)[:4]))
+
+    out = chain(x)
+    _sync2(out)
+
+    def best_of(k, n=4):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            v = x
+            for _ in range(k):
+                v = chain(v)
+            _sync2(v)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t4, t16, t64 = best_of(1), best_of(4), best_of(16), best_of(64)
+    slope_a = max(t16 - t4, 1e-12) / (12 * REP_)
+    slope_b = max(t64 - t16, 1e-12) / (48 * REP_)
+    lin = slope_b / slope_a
+    print(f"[gated] {name:16s} {slope_b*1e6:7.1f} us/batch "
+          f"({slope_b/BATCH*1e6:6.2f} us/item)  ratio {lin:.2f} "
+          f"(~1.0 = honest)", file=sys.stderr, flush=True)
+
+
+gated("mxu-negacyclic", fourstep_nega)
+prev = nttm.set_backend("pallas")
+gated("pallas-nega", lambda v: nttm.negacyclic_ntt_rev(v, nplan))
+nttm.set_backend(prev)
+print("[done3]", file=sys.stderr, flush=True)
