@@ -238,24 +238,48 @@ class RingElem:
     def stack(elems: list["RingElem"]) -> "RingElem":
         """Stack a list into a batch, promoting scalars to a common slot axis.
 
-        Hierarchical past 256 elements: one jnp.stack with thousands of
-        operands compiles (and dispatches through the relay) as a single
-        enormous concatenate — the wide-io circuits (in-circuit NTT: 4097
-        wires) paid seconds per prove/verify for it.  Grouped stacks +
-        one concatenate produce the identical array.
+        Dispatch-frugal for long mixed lists: the naive form issued one
+        broadcast per element plus one enormous stack — ~4100 relay
+        dispatches per prove/verify for the wide-io circuits (in-circuit
+        NTT: 4096 scalar wires + 1 dense).  Elements are bucketed by
+        shape, each bucket stacked in <=256-operand groups, broadcast
+        ONCE per bucket, concatenated, and restored to input order with a
+        single gather — tens of dispatches total, identical result.
         """
         assert elems
         ctx = elems[0].ctx
         n = max(e.res.shape[-1] for e in elems)
-        arrs = [
-            jnp.broadcast_to(e.res, (*e.res.shape[:-1], n)) for e in elems
-        ]
-        if len(arrs) <= 256:
-            return RingElem(ctx, jnp.stack(arrs))
-        groups = [
-            jnp.stack(arrs[i : i + 256]) for i in range(0, len(arrs), 256)
-        ]
-        return RingElem(ctx, jnp.concatenate(groups, axis=0))
+
+        def grouped_stack(arrs):
+            if len(arrs) <= 256:
+                return jnp.stack(arrs)
+            return jnp.concatenate(
+                [jnp.stack(arrs[i : i + 256])
+                 for i in range(0, len(arrs), 256)],
+                axis=0,
+            )
+
+        shapes = {e.res.shape for e in elems}
+        if len(shapes) == 1:
+            out = grouped_stack([e.res for e in elems])
+            if out.shape[-1] != n:
+                out = jnp.broadcast_to(out, (*out.shape[:-1], n))
+            return RingElem(ctx, out)
+
+        buckets: dict = {}
+        for idx, e in enumerate(elems):
+            buckets.setdefault(e.res.shape, []).append((idx, e.res))
+        parts, order = [], []
+        for shape, items in buckets.items():
+            idxs, arrs = zip(*items)
+            g = grouped_stack(list(arrs))  # [k, *shape]
+            if shape[-1] != n:
+                g = jnp.broadcast_to(g, (*g.shape[:-1], n))
+            parts.append(g)
+            order.extend(idxs)
+        res = jnp.concatenate(parts, axis=0)
+        inv = np.argsort(np.array(order))
+        return RingElem(ctx, res[jnp.asarray(inv)])
 
     def __getitem__(self, idx) -> "RingElem":
         return RingElem(self.ctx, self.res[idx])
