@@ -291,6 +291,12 @@ def main():
             msgs1 = base.at[:, 0].set(jnp.arange(nf) % (1 << logT))
             msgs2 = base.at[:, 0].set((2 * jnp.arange(nf) + 1) % (1 << logT))
             ekey = jax.random.key(77, impl="threefry2x32")
+            # warm (compile) pass with a different key, then the timed pass
+            t0 = time.perf_counter()
+            w0, w1 = fhe.encrypt_batch(msgs1, key=jax.random.fold_in(ekey, 9))
+            _sync(w0.res)
+            enc_cold_s = time.perf_counter() - t0
+            del w0, w1
             t0 = time.perf_counter()
             c0_1, c1_1 = fhe.encrypt_batch(msgs1, key=ekey)
             c0_2, c1_2 = fhe.encrypt_batch(msgs2, key=jax.random.fold_in(ekey, 1))
@@ -326,7 +332,7 @@ def main():
             dec_s = time.perf_counter() - t0
             print(
                 f"[TIME] {cname:>16s}/fhe-side  keygen {keygen_s:6.3f}s  "
-                f"enc({2*nf} cts) {enc_s:6.2f}s  eval {eval_s:6.2f}s "
+                f"enc({2*nf} cts) {enc_s:6.2f}s (cold {enc_cold_s:.1f}s)  eval {eval_s:6.2f}s "
                 f"(cold {eval_cold:.1f}s)  dec {dec_s:6.2f}s",
                 file=sys.stderr, flush=True,
             )
@@ -335,6 +341,7 @@ def main():
                 "N": N, "features": nf,
                 "fhe_keygen_s": round(keygen_s, 4),
                 "fhe_enc_s": round(enc_s, 3),
+                "fhe_enc_cold_s": round(enc_cold_s, 3),
                 "fhe_enc_count": 2 * nf,
                 "fhe_eval_s": round(eval_s, 4),
                 "fhe_eval_cold_s": round(eval_cold, 3),

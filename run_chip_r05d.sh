@@ -9,3 +9,5 @@ run() {
 run incircuit_r05d 7200 python bench_circuits.py --preset reference \
       --circuit incircuit_ntt --out BENCH_CIRCUITS_r05.json
 echo "[campaign-d] done"
+run logreg_r05d 7200 python bench_circuits.py --preset reference \
+      --circuit logreg --streamed --slab 512 --out BENCH_CIRCUITS_r05.json
