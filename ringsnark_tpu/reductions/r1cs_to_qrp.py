@@ -42,6 +42,8 @@ __all__ = [
     "r1cs_to_qrp_witness_map",
     "r1cs_to_qrp_witness_map_generic",
     "mod_powers_device",
+    "prover_witness_map_chunked",
+    "witness_map_kernel_chunked",
 ]
 
 
@@ -134,6 +136,21 @@ def _instance_eval_kernel(comp, t_res, domain):
 # ---------------------------------------------------------------------------
 # witness map — fast path
 # ---------------------------------------------------------------------------
+
+
+def _pa_batches(ctx, primary, auxiliary):
+    """(p_res, a_res) assignment arrays, each [rows, L, n] at a common
+    slot width — the inputs of `prover_witness_map_chunked` (no full/io/mid
+    materialization).  Accepts RingElem batches or lists of RingElem."""
+    p_res = primary.res if isinstance(primary, RingElem) else (
+        RingElem.stack(list(primary)).res if primary
+        else jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)
+    )
+    a_res = auxiliary.res if isinstance(auxiliary, RingElem) else (
+        RingElem.stack(list(auxiliary)).res if auxiliary
+        else jnp.zeros((0, ctx.L, 1), dtype=jnp.uint32)
+    )
+    return p_res, a_res
 
 
 def _assignment_batches(ctx, primary, auxiliary):
@@ -234,6 +251,92 @@ def r1cs_to_qrp_witness_map(
     )
 
 
+def _comp_slot_slice(comp, lo, slot_chunk):
+    """Slot-slice a CompiledR1CS: dense per-slot constraint coefficients
+    (e.g. the in-circuit-NTT LC, whose coefficients are full ring elements)
+    chunk alongside the assignments; scalar (nc == 1) coefficients
+    broadcast."""
+    if all(c.shape[-1] == 1 for c in comp.coeffs):
+        return comp
+    return CompiledR1CS(
+        ctx=comp.ctx,
+        num_constraints=comp.num_constraints,
+        num_variables=comp.num_variables,
+        primary_input_size=comp.primary_input_size,
+        rows=comp.rows,
+        cols=comp.cols,
+        coeffs=tuple(
+            c if c.shape[-1] == 1 else c[..., lo:lo + slot_chunk]
+            for c in comp.coeffs
+        ),
+    )
+
+
+def prover_witness_map_chunked(comp, p_res, a_res, domain,
+                               slot_chunk: int = 128,
+                               out_rows: int | None = None):
+    """(a_full, b_full, H) for the non-ZK prover, assembled per slot chunk.
+
+    Peak-residency form of `witness_map_kernel_chunked(outputs="prover")`:
+    the [1+nv, L, n] full/io/mid assignment batches (each ~2.1 GiB at
+    Rq 2^16 — `_assignment_batches` materialized all three plus their
+    zero-padding temporaries) never exist.  Each slot chunk's z_full is
+    concatenated from the primary/auxiliary slot slices on the fly, so
+    device residency is inputs + the three outputs.  Bit-identical to the
+    eager path (slots never interact; eval_matrices is linear in z).
+
+    `out_rows`: zero-pad each output's row axis to this count during
+    assembly — the streamed prover's chunk plan needs padded vectors, and
+    padding the small per-chunk pieces avoids a second full-size copy
+    (whose stale original the relay frees late — the second rq16 OOM).
+    """
+    ctx = comp.ctx
+    n = max(p_res.shape[-1], a_res.shape[-1], 1)
+
+    def widen(x):
+        if x.shape[-1] == n:
+            return x
+        assert x.shape[-1] == 1, (x.shape, n)
+        return jnp.broadcast_to(x, (*x.shape[:-1], n))
+
+    def rpad(x):
+        if out_rows is None or x.shape[0] >= out_rows:
+            return x
+        return jnp.pad(
+            x, ((0, out_rows - x.shape[0]),) + ((0, 0),) * (x.ndim - 1)
+        )
+
+    one_w = jnp.broadcast_to(
+        RingElem.one(ctx).res, (1, ctx.L, n)
+    ).astype(jnp.uint32)
+    p_w, a_w = widen(p_res), widen(a_res)
+    zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
+
+    if n <= slot_chunk:
+        z_full = jnp.concatenate([one_w, p_w, a_w], axis=0)
+        outs = _witness_map_kernel(comp, z_full, None, None, zero, zero,
+                                   zero, domain, "prover")
+        return tuple(rpad(x) for x in outs)
+    assert n % slot_chunk == 0, (n, slot_chunk)
+
+    parts = []
+    for lo in range(0, n, slot_chunk):
+        z_c = jnp.concatenate(
+            [one_w[..., lo:lo + slot_chunk], p_w[..., lo:lo + slot_chunk],
+             a_w[..., lo:lo + slot_chunk]], axis=0,
+        )
+        parts.append([rpad(x) for x in _witness_map_kernel(
+            _comp_slot_slice(comp, lo, slot_chunk), z_c, None, None,
+            zero, zero, zero, domain, "prover",
+        )])
+    out = []
+    for i in range(3):
+        out.append(jnp.concatenate([p[i] for p in parts], axis=-1))
+        for p_ in parts:  # free each piece as soon as it is consumed
+            p_[i] = None
+    return tuple(out)
+
+
 def witness_map_kernel_chunked(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
                                domain, slot_chunk: int = 128,
                                outputs: str = "all"):
@@ -265,25 +368,10 @@ def witness_map_kernel_chunked(comp, z_full, z_io, z_mid, d1r, d2r, d3r,
     def dsl(d, lo):
         return d if d.shape[-1] == 1 else d[..., lo:lo + slot_chunk]
 
-    def comp_slice(lo):
-        # dense per-slot constraint coefficients (e.g. the in-circuit-NTT
-        # LC, whose coefficients are full ring elements) chunk alongside
-        # the assignments; scalar (nc == 1) coefficients broadcast
-        if all(c.shape[-1] == 1 for c in comp.coeffs):
-            return comp
-        return CompiledR1CS(
-            ctx=comp.ctx,
-            num_constraints=comp.num_constraints,
-            num_variables=comp.num_variables,
-            primary_input_size=comp.primary_input_size,
-            rows=comp.rows,
-            cols=comp.cols,
-            coeffs=tuple(dsl(c, lo) for c in comp.coeffs),
-        )
-
     parts = [
         list(_witness_map_kernel(
-            comp_slice(lo), z_full[..., lo:lo + slot_chunk],
+            _comp_slot_slice(comp, lo, slot_chunk),
+            z_full[..., lo:lo + slot_chunk],
             z_io[..., lo:lo + slot_chunk],
             z_mid[..., lo:lo + slot_chunk], dsl(d1r, lo), dsl(d2r, lo),
             dsl(d3r, lo), domain, outputs,
@@ -310,9 +398,17 @@ def _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r, domain,
     M = domain.m
 
     # (1) constraint evaluations on the domain (rows beyond num_constraints
-    # are zero — padding constraints 0*0=0)
+    # are zero — padding constraints 0*0=0).  "prover" mode needs only the
+    # full assignment: eval_matrices is linear in z and io + mid = full, so
+    # a_io + a_mid == interp(eval(full)) bit-exactly — 3 SpMVs + 3 iNTTs
+    # instead of 9 + 9, and z_io/z_mid may be None.
     evals = {}
-    for name, z in (("full", z_full), ("io", z_io), ("mid", z_mid)):
+    srcs = (
+        (("full", z_full),)
+        if outputs == "prover"
+        else (("full", z_full), ("io", z_io), ("mid", z_mid))
+    )
+    for name, z in srcs:
         evals[name] = comp.eval_matrices(z, num_rows=M)  # 3 x [M, L, n]
 
     # (2) interpolate to coefficients: 9 inverse NTTs
@@ -359,10 +455,10 @@ def _witness_map_kernel(comp, z_full, z_io, z_mid, d1r, d2r, d3r, domain,
     ones = jnp.ones((1, ctx.L, 1), dtype=jnp.uint32)
     Z = jnp.concatenate([negone, zeros, ones], axis=0)
 
+    if outputs == "prover":
+        return (aA, aB, H)
     a_io, b_io, c_io = coeffs["io"]
     a_mid, b_mid, c_mid = coeffs["mid"]
-    if outputs == "prover":
-        return (add_mod(a_io, a_mid, p_), add_mod(b_io, b_mid, p_), H)
     if outputs == "mid":
         return (a_mid, b_mid, c_mid, H)
     return (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H)

@@ -171,25 +171,23 @@ def prover(
     inner products — two moderate compiled programs instead of the one
     mega-graph (`pipeline.groth16_core`, still used by the sharded path),
     which crashed the remote compiler at dense reference shapes."""
-    import jax.numpy as jnp
-
     from ..reductions.r1cs_to_qrp import (
-        _assignment_batches,
-        witness_map_kernel_chunked,
+        _pa_batches,
+        prover_witness_map_chunked,
     )
     from .pipeline import groth16_ip_core, groth16_proof_levels
 
     ctx = pk.params.ring
     ectx = pk.params.enc
     ums = pk.params.use_modswitch
-    full, io, mid = _assignment_batches(ctx, primary_input, auxiliary_input)
-    zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
-    # "prover" mode materializes only the 3 arrays this prover consumes
-    # (the 8-output form held c_io/c_mid/Z for nothing — at Rq scale that
-    # peak residency is the difference between fitting HBM or not)
-    (a_full, b_full, H) = witness_map_kernel_chunked(
-        pk.compiled, full.res, io.res, mid.res, zero, zero, zero, pk.domain,
-        outputs="prover",
+    # lazy prover-mode witness map: only (a_full, b_full, H) materialize,
+    # z_full is assembled per slot chunk, and just 3 of the 9 SpMV+iNTT
+    # legs run (a_full == a_io + a_mid by linearity) — at Rq scale the
+    # eager full/io/mid batches were the difference between fitting HBM
+    # or not
+    p_res, a_res = _pa_batches(ctx, primary_input, auxiliary_input)
+    (a_full, b_full, H) = prover_witness_map_chunked(
+        pk.compiled, p_res, a_res, pk.domain,
     )
     crs = {
         "s_pows": (pk.s_pows.c0, pk.s_pows.c1),
@@ -200,14 +198,7 @@ def prover(
         "alpha": (pk.alpha.c0, pk.alpha.c1),
         "beta": (pk.beta.c0, pk.beta.c1),
     }
-    if isinstance(auxiliary_input, RingElem):
-        aux_arr = (
-            auxiliary_input.res if auxiliary_input.res.shape[0] > 0 else None
-        )
-    else:
-        aux_arr = (
-            RingElem.stack(list(auxiliary_input)).res if auxiliary_input else None
-        )
+    aux_arr = a_res if a_res.shape[0] > 0 else None
     A, B, C = groth16_ip_core(
         crs, a_full, b_full, H, aux_arr, pk.domain.m, ectx, ums
     )

@@ -60,6 +60,7 @@ from ..reductions.r1cs_to_qrp import (
     eval_instance_arrays,
     mod_powers_device,
     _assignment_batches,
+    prover_witness_map_chunked,
     witness_map_kernel_chunked,
 )
 from ..relations.r1cs import CompiledR1CS
@@ -494,22 +495,7 @@ def stream_prove(
     rec._sync(delta_mid_res, zt_dinv_res)
     rec.add("setup", "common", time.perf_counter() - t0)
 
-    # ---- witness map (full L, slot-chunked for Rq program size) -----------
-    t0 = time.perf_counter()
-    full, io, mid = _assignment_batches(ctx, primary, auxiliary)
-    zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
-    # "prover" mode materializes only (a_full, b_full, H) — the 8-output
-    # form plus its chunk pieces OOM'd HBM at Rq 2^15
-    (a_full, b_full, H) = witness_map_kernel_chunked(
-        comp, full.res, io.res, mid.res, zero, zero, zero, domain,
-        outputs="prover",
-    )
-    del full, io, mid
-    aux_res = _as_batch(ctx, auxiliary).res
-    rec._sync(a_full, b_full, H)
-    rec.add("prove", "witness_map", time.perf_counter() - t0)
-
-    # ---- per-limb streamed CRS + MACs -------------------------------------
+    # ---- chunk plan (needed by the witness map's fused row padding) -------
     # one (nchunks, chunk) plan shared by every phase of every limb
     # (delta_mid has num_variables - primary rows, which can exceed M+1
     # for wide circuits like the mul chain)
@@ -520,13 +506,35 @@ def stream_prove(
     ums = params.use_modswitch
     max_level = max(ectx.L_inner - ectx.floor_limbs, 0) if ums else 0
 
-    # pad once, REPLACING the originals (keeping both doubled the Rq-scale
-    # residency and OOM'd HBM at 2^15)
-    a_full = _pad_rows(a_full, B_pad)
-    b_full = _pad_rows(b_full, B_pad)
-    H = _pad_rows(H, B_pad)
+    # ---- witness map (full L, slot-chunked for Rq program size) -----------
+    t0 = time.perf_counter()
+    # lazy prover-mode map: z_full assembled per slot chunk from the
+    # primary/aux arrays; the full/io/mid batches (~2.1 GiB EACH at
+    # Rq 2^16 — their eager materialization OOM'd the first rq16 attempt)
+    # never exist, only 3 of the 9 SpMV+iNTT legs run (linearity), and the
+    # outputs emerge already row-padded to the chunk plan (a second
+    # full-size pad copy left ~6 GiB of stale buffers the relay freed too
+    # late — the second rq16 OOM)
+    primary_b = _as_batch(ctx, primary)
+    aux_res = _as_batch(ctx, auxiliary).res
+    (a_full, b_full, H) = prover_witness_map_chunked(
+        comp, primary_b.res, aux_res, domain, out_rows=B_pad,
+    )
+    rec._sync(a_full, b_full, H)
+    rec.add("prove", "witness_map", time.perf_counter() - t0)
+
+    # pad the remaining row vectors, REPLACING the originals (keeping both
+    # doubled the Rq-scale residency and OOM'd HBM at 2^15).  delta_mid's
+    # pre-pad buffer is owned here — free it eagerly rather than waiting
+    # out the relay's late GC frees (aux_res's original belongs to the
+    # caller and must survive).
     aux_res = _pad_rows(aux_res, B_pad)
+    dm_old = delta_mid_res
     delta_mid_res = _pad_rows(delta_mid_res, B_pad)
+    if delta_mid_res is not dm_old:
+        rec._sync(delta_mid_res)
+        dm_old.delete()
+    del dm_old
     # per-chunk power table: chunk rows of s^i and the chunk step s^chunk
     spow, s_step = _spow_table(ctx, s.res, chunk)
 
