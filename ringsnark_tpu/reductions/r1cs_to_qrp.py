@@ -251,6 +251,14 @@ def r1cs_to_qrp_witness_map(
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _slot_update(out, piece, lo):
+    """out[..., lo:lo+piece_width] = piece, donating (reusing) out's
+    buffer — the chunked witness map's incremental assembly step."""
+    zero = jnp.int32(0)
+    return jax.lax.dynamic_update_slice(out, piece, (zero, zero, lo))
+
+
 def _comp_slot_slice(comp, lo, slot_chunk):
     """Slot-slice a CompiledR1CS: dense per-slot constraint coefficients
     (e.g. the in-circuit-NTT LC, whose coefficients are full ring elements)
@@ -319,21 +327,29 @@ def prover_witness_map_chunked(comp, p_res, a_res, domain,
         return tuple(rpad(x) for x in outs)
     assert n % slot_chunk == 0, (n, slot_chunk)
 
-    parts = []
+    # donated in-place slot assembly: holding every chunk's pieces for a
+    # final concatenate keeps ~2x the output footprint live (at Rq 2^16
+    # that was the difference between fitting HBM or not); instead each
+    # piece is written into its slot range of a preallocated output whose
+    # buffer is donated, so peak residency is outputs + one piece set
+    out = None
     for lo in range(0, n, slot_chunk):
         z_c = jnp.concatenate(
             [one_w[..., lo:lo + slot_chunk], p_w[..., lo:lo + slot_chunk],
              a_w[..., lo:lo + slot_chunk]], axis=0,
         )
-        parts.append([rpad(x) for x in _witness_map_kernel(
+        pieces = [rpad(x) for x in _witness_map_kernel(
             _comp_slot_slice(comp, lo, slot_chunk), z_c, None, None,
             zero, zero, zero, domain, "prover",
-        )])
-    out = []
-    for i in range(3):
-        out.append(jnp.concatenate([p[i] for p in parts], axis=-1))
-        for p_ in parts:  # free each piece as soon as it is consumed
-            p_[i] = None
+        )]
+        if out is None:
+            out = [
+                jnp.zeros((*pc.shape[:-1], n), pc.dtype) for pc in pieces
+            ]
+        lo_arr = jnp.int32(lo)
+        out = [
+            _slot_update(o, pc, lo_arr) for o, pc in zip(out, pieces)
+        ]
     return tuple(out)
 
 

@@ -307,6 +307,16 @@ def _run_phases(
     device.  Returns {name: [level-0 partial-sum Encodings]}.
     """
     ctx_l, ectx_l = params_l.ring, params_l.enc
+
+    def rows_at(x, lo):
+        # slice-and-pad: inputs need not be padded to nchunks*chunk rows —
+        # a short (or empty — jax clamps out-of-range slices) final slice
+        # is zero-padded here, which is bit-identical to slicing a
+        # zero-padded vector but never materializes the full padded copy
+        # (at Rq 2^16 the padded aux/delta_mid copies alone were ~4.5 GiB)
+        sl = x[lo:lo + chunk]
+        return sl if sl.shape[0] == chunk else _pad_rows(sl, chunk)
+
     partials: dict[str, list] = {}
     for name, (kind, src), pts, enc_key in phases:
         tp = time.perf_counter()
@@ -319,7 +329,7 @@ def _run_phases(
                 if ci + 1 < nchunks:
                     carry = _mul_res(ctx_l, carry, s_step_l)
             else:
-                rows_chunk = src[lo : lo + chunk]
+                rows_chunk = rows_at(src, lo)
             if rec.profile:
                 t0 = time.perf_counter()
             senc = sd.encode_seeded(
@@ -332,7 +342,7 @@ def _run_phases(
                         time.perf_counter() - t0)
                 t0 = time.perf_counter()
             outs = sd.seeded_inner_product(
-                senc, [pt[lo : lo + chunk] for pt in pts],
+                senc, [rows_at(pt, lo) for pt in pts],
                 use_modswitch=False,
             )
             accs = outs if accs is None else [
@@ -512,29 +522,18 @@ def stream_prove(
     # primary/aux arrays; the full/io/mid batches (~2.1 GiB EACH at
     # Rq 2^16 — their eager materialization OOM'd the first rq16 attempt)
     # never exist, only 3 of the 9 SpMV+iNTT legs run (linearity), and the
-    # outputs emerge already row-padded to the chunk plan (a second
-    # full-size pad copy left ~6 GiB of stale buffers the relay freed too
-    # late — the second rq16 OOM)
+    # outputs are assembled in place via donated slot updates (holding all
+    # slot-chunk pieces next to the assembling outputs was ~7 GiB — the
+    # third rq16 OOM).  No row vector is padded to the chunk plan here:
+    # `_run_phases.rows_at` zero-pads the final short chunk slice on the
+    # fly, bit-identically (padded full-size copies were ~4.5 GiB more).
     primary_b = _as_batch(ctx, primary)
     aux_res = _as_batch(ctx, auxiliary).res
     (a_full, b_full, H) = prover_witness_map_chunked(
-        comp, primary_b.res, aux_res, domain, out_rows=B_pad,
+        comp, primary_b.res, aux_res, domain,
     )
     rec._sync(a_full, b_full, H)
     rec.add("prove", "witness_map", time.perf_counter() - t0)
-
-    # pad the remaining row vectors, REPLACING the originals (keeping both
-    # doubled the Rq-scale residency and OOM'd HBM at 2^15).  delta_mid's
-    # pre-pad buffer is owned here — free it eagerly rather than waiting
-    # out the relay's late GC frees (aux_res's original belongs to the
-    # caller and must survive).
-    aux_res = _pad_rows(aux_res, B_pad)
-    dm_old = delta_mid_res
-    delta_mid_res = _pad_rows(delta_mid_res, B_pad)
-    if delta_mid_res is not dm_old:
-        rec._sync(delta_mid_res)
-        dm_old.delete()
-    del dm_old
     # per-chunk power table: chunk rows of s^i and the chunk step s^chunk
     spow, s_step = _spow_table(ctx, s.res, chunk)
 
