@@ -750,14 +750,8 @@ def stream_prove_rinocchio(
     ums = params.use_modswitch
     max_level = max(ectx.L_inner - ectx.floor_limbs, 0) if ums else 0
 
-    # pad once, replacing the originals (see stream_prove)
-    a_vec = _pad_rows(a_vec, B_pad)
-    b_vec = _pad_rows(b_vec, B_pad)
-    c_vec = _pad_rows(c_vec, B_pad)
-    H = _pad_rows(H, B_pad)
-    aux_res = _pad_rows(aux_res, B_pad)
-    if beta_prods_res is not None:
-        beta_prods_res = _pad_rows(beta_prods_res, B_pad)
+    # no full-size padded copies: `_run_phases.rows_at` zero-pads the
+    # final short chunk slice on the fly (see stream_prove)
     spow, s_step = _spow_table(ctx, s.res, chunk)
 
     limb_elems: list[list[Encoding]] = []  # 9 proof elements per limb (+F)
