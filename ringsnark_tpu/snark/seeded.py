@@ -53,8 +53,8 @@ from ..encoding.context import EncodingContext
 from ..ops.modops import mul_mod, add_mod, barrett_reduce_u64
 from ..reductions.r1cs_to_qrp import (
     r1cs_to_qrp_instance_map_with_evaluation,
-    _assignment_batches,
-    witness_map_kernel_chunked,
+    _pa_batches,
+    prover_witness_map_chunked,
 )
 from ..relations.r1cs import CompiledR1CS
 from ..rings.elem import RingElem
@@ -553,25 +553,19 @@ def prover_seeded(
     ctx = pk.params.ring
     ectx = pk.params.enc
     ums = pk.params.use_modswitch
-    full, io, mid = _assignment_batches(ctx, primary_input, auxiliary_input)
-    zero = jnp.zeros((ctx.L, 1), dtype=jnp.uint32)
-    (a_io, b_io, c_io, a_mid, b_mid, c_mid, Z, H) = witness_map_kernel_chunked(
-        pk.compiled, full.res, io.res, mid.res, zero, zero, zero, pk.domain
+    # lazy prover-mode witness map (3 of 9 SpMV+iNTT legs by linearity;
+    # see reductions.r1cs_to_qrp.prover_witness_map_chunked)
+    p_res, a_res = _pa_batches(ctx, primary_input, auxiliary_input)
+    (a_full, b_full, H) = prover_witness_map_chunked(
+        pk.compiled, p_res, a_res, pk.domain
     )
-    a_full = add_mod(a_io, a_mid, ctx.p)
-    b_full = add_mod(b_io, b_mid, ctx.p)
 
     A_ip, B_ip = seeded_inner_product(pk.s_pows, [a_full, b_full], ums)
     (C_ip,) = seeded_inner_product(pk.delta_ts, [H], ums)
     a_enc = A_ip + pk.alpha
     b_enc = B_ip + pk.beta
     c_enc = C_ip
-    if isinstance(auxiliary_input, RingElem):
-        aux_arr = auxiliary_input.res if auxiliary_input.res.shape[0] > 0 else None
-    else:
-        aux_arr = (
-            RingElem.stack(list(auxiliary_input)).res if auxiliary_input else None
-        )
+    aux_arr = a_res if a_res.shape[0] > 0 else None
     if aux_arr is not None and pk.delta_mid is not None:
         (mid_ip,) = seeded_inner_product(pk.delta_mid, [aux_arr], ums)
         c_enc = c_enc + mid_ip
